@@ -1,0 +1,17 @@
+from sciml_pde_tpu.parallel.mesh import (
+    MeshAxes,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "MeshAxes",
+    "make_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+    "replicate",
+]
