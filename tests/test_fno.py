@@ -88,8 +88,12 @@ def _torch_fno2d_oracle(params, x, grid, modes, width, num_channels):
     for i in range(4):
         w1 = bb[f"conv{i}"]["w1"]
         w2 = bb[f"conv{i}"]["w2"]
-        w1c = torch.tensor(np.asarray(w1[0]) + 1j * np.asarray(w1[1]))
-        w2c = torch.tensor(np.asarray(w2[0]) + 1j * np.asarray(w2[1]))
+        w1c = torch.tensor(
+            (np.asarray(w1[0]) + 1j * np.asarray(w1[1])).astype(np.complex128)
+        )
+        w2c = torch.tensor(
+            (np.asarray(w2[0]) + 1j * np.asarray(w2[1])).astype(np.complex128)
+        )
         hf = torch.fft.rfft2(h, dim=(1, 2))
         m1, m2 = modes, modes
         out = torch.zeros(
@@ -158,8 +162,10 @@ def test_fno2d_aux_two_heads_share_backbone():
     b, na, nx, ny, tt, c = 2, 3, 16, 16, 4, 2
     x = rng.normal(size=(b, nx, ny, tt, c)).astype(np.float32)
     xa = rng.normal(size=(b * na, nx, ny, tt, c)).astype(np.float32)
-    grid = rng.uniform(size=(b, nx, ny, 2)).astype(np.float32)
-    grida = np.broadcast_to(grid[:, None], (b, na, nx, ny, 2)).reshape(b * na, nx, ny, 2)
+    # one shared grid so primary rows and aux rows see identical coordinates
+    g0 = rng.uniform(size=(nx, ny, 2)).astype(np.float32)
+    grid = np.broadcast_to(g0[None], (b, nx, ny, 2))
+    grida = np.broadcast_to(g0[None], (b * na, nx, ny, 2))
 
     model = FNO2dAux(num_channels=c, modes1=4, modes2=4, width=8, initial_step=tt)
     params = model.init(jax.random.PRNGKey(3), x, grid, xa, grida)["params"]
@@ -170,6 +176,5 @@ def test_fno2d_aux_two_heads_share_backbone():
     # with identical head weights and identical inputs, both heads agree
     params2 = dict(params)
     params2["fc2_auxiliary"] = jax.tree_util.tree_map(np.copy, params["fc2_primary"])
-    p2, a2 = model.apply({"params": params2}, x, grid, x[:1].repeat(b * na, 0) * 0 + xa, grida)
     p3, a3 = model.apply({"params": params2}, xa[:b], grid, xa, grida)
     np.testing.assert_allclose(np.asarray(p3), np.asarray(a3[:b]), atol=1e-5)
