@@ -1,0 +1,329 @@
+"""FNO training drivers (baseline + multiphysics aux joint training).
+
+Capability parity:
+  - baseline: reference ``pdebench/models/fno/train.py:43-347`` — nRMSE loss,
+    Adam(wd=1e-4), cosine/StepLR, adaptive clip max(5, 0.1*||g||),
+    ``training_type in {single, autoregressive}``, best-val checkpointing,
+    eval path producing the six metrics.
+  - aux: reference ``fno_aux/fno_train_aux.py`` — 6-tuple batches, aux batch
+    flattening [B, nA, ...] -> [B*nA, ...], three LR groups
+    (shared/primary-head/aux-head), loss = primary + aux_weight * aux,
+    best-*primary*-val checkpointing.
+
+TPU-first design:
+  - the whole step (window gather from HBM-resident trajectories, forward,
+    loss, backward, adaptive clip, Adam, LR schedule) is ONE jitted program
+    with donated params/opt_state;
+  - data parallelism = batch-index sharding over the 'data' mesh axis: the
+    trajectory store is replicated, the per-step window indices are sharded,
+    XLA partitions the gather and inserts the gradient all-reduce (replaces
+    nn.DataParallel);
+  - teacher-forced autoregressive training is a ``lax.scan`` over the
+    window, not a python loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sciml_pde_tpu.data.dr import load_dr_aux, load_dr_baseline
+from sciml_pde_tpu.data.windows import epoch_batches, gather_windows
+from sciml_pde_tpu.metrics import nrmse_loss
+from sciml_pde_tpu.models import FNO2d, FNO2dAux, FNO3d, FNO3dAux
+from sciml_pde_tpu.parallel import make_mesh, replicate, shard_batch
+from sciml_pde_tpu.train.optim import aux_group_of, make_grouped_optimizer, make_optimizer
+from sciml_pde_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+from sciml_pde_tpu.utils.logging import MetricLogger
+
+
+def _broadcast_grid(grid: jnp.ndarray, b: int) -> jnp.ndarray:
+    return jnp.broadcast_to(grid[None], (b,) + grid.shape)
+
+
+# --------------------------------------------------------------------------
+# step builders
+# --------------------------------------------------------------------------
+
+
+def build_baseline_step(
+    model, tx, initial_step: int, rollout: int, training_type: str = "single", t_train: int | None = None
+):
+    """One jitted optimizer step for the baseline FNO.
+
+    Batch = (B, 2) int32 window indices into the trajectory store.
+    """
+
+    def single_loss(params, x, y, grid):
+        pred = model.apply({"params": params}, x, grid)
+        return nrmse_loss(pred, y)
+
+    def ar_body(params, xx, yt, grid):
+        # teacher-forced unroll step (reference fno/train.py:235-258): the
+        # model predicts from the current window, the loss accumulates, and
+        # the TRUE frame slides into the window.
+        pred = model.apply({"params": params}, xx, grid)
+        loss_t = nrmse_loss(pred, yt)
+        xx = jnp.concatenate([xx[..., 1:, :], yt], axis=-2)
+        return xx, loss_t
+
+    if training_type == "autoregressive":
+        gather_rollout = (t_train or initial_step + rollout) - initial_step
+
+        def loss_fn(params, x, y, grid):
+            # y: (B, *sp, T_out, C) -> scan over (T_out, B, *sp, 1, C)
+            ys = jnp.moveaxis(y, -2, 0)[..., None, :]
+            _, losses = jax.lax.scan(
+                lambda xx, yt: ar_body(params, xx, yt, grid), x, ys
+            )
+            return jnp.sum(losses)
+
+    else:
+        loss_fn = single_loss
+        gather_rollout = rollout
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, data, grid, idx):
+        x, y = gather_windows(data, idx, initial_step, gather_rollout)
+        gb = _broadcast_grid(grid, idx.shape[0])
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, g_norm
+
+    @jax.jit
+    def val_loss(params, data, grid, idx):
+        x, y = gather_windows(data, idx, initial_step, gather_rollout)
+        gb = _broadcast_grid(grid, idx.shape[0])
+        return loss_fn(params, x, y, gb)
+
+    return step, val_loss
+
+
+def build_aux_step(
+    model, tx, initial_step: int, rollout: int, num_aux_samples: int, auxiliary_weight: float
+):
+    """One jitted optimizer step for two-head aux joint training.
+
+    Aux pairing (reference fno_aux/utils_2d_rd.py:131-146): primary
+    trajectory p at window t0 pairs with aux trajectories
+    p*nA + (0..nA-1) at the same t0; the aux batch is flattened to B*nA.
+    """
+
+    def aux_indices(idx):
+        p = idx[:, 0]
+        t0 = idx[:, 1]
+        offs = jnp.arange(num_aux_samples, dtype=idx.dtype)
+        ap = (p[:, None] * num_aux_samples + offs[None, :]).reshape(-1)
+        at = jnp.repeat(t0, num_aux_samples)
+        return jnp.stack([ap, at], axis=1)
+
+    def loss_fn(params, x, y, xa, ya, grid, grid_a):
+        pred_p, pred_a = model.apply({"params": params}, x, grid, xa, grid_a)
+        lp = nrmse_loss(pred_p, y)
+        la = nrmse_loss(pred_a, ya)
+        return lp + auxiliary_weight * la, (lp, la)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, data_p, data_a, grid, idx):
+        x, y = gather_windows(data_p, idx, initial_step, rollout)
+        a_idx = aux_indices(idx)
+        xa, ya = gather_windows(data_a, a_idx, initial_step, rollout)
+        gb = _broadcast_grid(grid, idx.shape[0])
+        ga = _broadcast_grid(grid, a_idx.shape[0])
+        (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, y, xa, ya, gb, ga
+        )
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss, lp, la), g_norm
+
+    @jax.jit
+    def val_primary_loss(params, data_p, grid, idx):
+        # validation scores the primary head only (fno_train_aux.py:400-410);
+        # feed the primary stream to both inputs, discard the aux output.
+        x, y = gather_windows(data_p, idx, initial_step, rollout)
+        gb = _broadcast_grid(grid, idx.shape[0])
+        pred_p, _ = model.apply({"params": params}, x, gb, x, gb)
+        return nrmse_loss(pred_p, y)
+
+    return step, val_primary_loss
+
+
+# --------------------------------------------------------------------------
+# run_training: the L4 entry point
+# --------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class FNOTrainResult:
+    params: Any
+    best_val: float
+    history: list[dict]
+
+
+def run_training(
+    *,
+    base_path: str,
+    aux_path: str | None = None,
+    if_aux: bool = False,
+    if_downsample: bool = False,
+    train_subsample=(900, 900, 900),
+    num_aux_samples: int = 3,
+    auxiliary_weight: float = 0.7,
+    modes: int = 12,
+    width: int = 20,
+    initial_step: int = 10,
+    rollout_test: int = 1,
+    t_train: int = 101,
+    num_channels: int = 2,
+    batch_size: int = 4,
+    epochs: int = 100,
+    learning_rate: float = 1e-3,
+    learning_rate_share: float = 1e-3,
+    learning_rate_fc2: float = 1e-3,
+    scheduler: str = "cosine",
+    scheduler_step: int = 100,
+    scheduler_gamma: float = 0.5,
+    training_type: str = "single",
+    model_update: int = 1,
+    seed: int = 16,
+    run_dir: str = "runs/fno",
+    model_name: str = "fno2d_dr",
+    continue_training: bool = False,
+    log_every: int = 50,
+) -> FNOTrainResult:
+    """Train a (possibly aux two-head) FNO on the DR dataset family.
+
+    Mirrors reference fno/train.py:43 and fno_aux/fno_train_aux.py:43.
+    """
+    mesh = make_mesh()
+    rng = np.random.default_rng(seed)
+    logger = MetricLogger(run_dir, name=model_name, echo_every=1)
+
+    if if_aux:
+        ds = load_dr_aux(
+            base_path,
+            aux_path,
+            train_subsample=tuple(train_subsample),
+            num_aux_samples=num_aux_samples,
+            initial_step=initial_step,
+            rollout_test=rollout_test,
+            if_downsample=if_downsample,
+        )
+        train_w, test_w = ds.primary_train, ds.primary_test
+        model = FNO2dAux(
+            num_channels=num_channels, modes1=modes, modes2=modes, width=width,
+            initial_step=initial_step,
+        )
+    else:
+        ds = load_dr_baseline(
+            base_path,
+            train_subsample=train_subsample[0],
+            initial_step=initial_step,
+            rollout_test=rollout_test,
+        )
+        train_w, test_w = ds.train, ds.test
+        model = FNO2d(
+            num_channels=num_channels, modes1=modes, modes2=modes, width=width,
+            initial_step=initial_step,
+        )
+
+    train_idx = train_w.window_index()
+    test_idx = test_w.window_index()
+    steps_per_epoch = max(len(train_idx) // batch_size, 1)
+    total_steps = epochs * steps_per_epoch
+
+    key = jax.random.PRNGKey(seed)
+    x0, y0 = gather_windows(train_w.data, jnp.asarray(train_idx[:1]), initial_step, rollout_test)
+    g0 = _broadcast_grid(train_w.grid, 1)
+    if if_aux:
+        params = model.init(key, x0, g0, x0, g0)["params"]
+        tx = make_grouped_optimizer(
+            aux_group_of,
+            {
+                "shared": learning_rate_share,
+                "primary_head": learning_rate_fc2,
+                "aux_head": learning_rate_fc2,
+            },
+            total_steps, scheduler, 1e-4, scheduler_step, scheduler_gamma,
+        )
+        step_fn, val_fn = build_aux_step(
+            model, tx, initial_step, rollout_test, num_aux_samples, auxiliary_weight
+        )
+    else:
+        params = model.init(key, x0, g0)["params"]
+        tx = make_optimizer(
+            learning_rate, total_steps, scheduler, 1e-4, scheduler_step, scheduler_gamma
+        )
+        step_fn, val_fn = build_baseline_step(
+            model, tx, initial_step, rollout_test, training_type, t_train
+        )
+
+    opt_state = tx.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    ckpt_path = Path(run_dir) / f"{model_name}_ckpt"
+    best_val = float(np.inf)
+    start_epoch = 0
+    if continue_training and ckpt_path.exists():
+        restored = restore_checkpoint(
+            ckpt_path, {"params": params, "opt_state": opt_state,
+                        "meta": {"epoch": np.asarray(0), "loss": np.asarray(0.0)}}
+        )
+        params = replicate(restored["params"], mesh)
+        opt_state = replicate(restored["opt_state"], mesh)
+        start_epoch = int(restored["meta"]["epoch"])
+        best_val = float(restored["meta"]["loss"])
+
+    history: list[dict] = []
+    gstep = 0
+    for ep in range(start_epoch, epochs):
+        train_loss_sum, nb = 0.0, 0
+        for batch in epoch_batches(train_idx, batch_size, rng):
+            bidx = shard_batch(batch, mesh)
+            if if_aux:
+                params, opt_state, (loss, lp, la), g_norm = step_fn(
+                    params, opt_state, train_w.data, ds.aux_train.data, train_w.grid, bidx
+                )
+            else:
+                params, opt_state, loss, g_norm = step_fn(
+                    params, opt_state, train_w.data, train_w.grid, bidx
+                )
+            gstep += 1
+            train_loss_sum += float(loss)
+            nb += 1
+            if gstep % log_every == 0:
+                logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
+
+        if ep % model_update == 0:
+            val_sum = 0.0
+            vb = 0
+            for b in range(0, len(test_idx), batch_size):
+                chunk = test_idx[b : b + batch_size]
+                if if_aux:
+                    v = val_fn(params, test_w.data, test_w.grid, jnp.asarray(chunk))
+                else:
+                    v = val_fn(params, test_w.data, test_w.grid, jnp.asarray(chunk))
+                val_sum += float(v)
+                vb += 1
+            val_loss = val_sum / max(vb, 1)
+            history.append(
+                {"epoch": ep, "train_loss": train_loss_sum / max(nb, 1), "val_loss": val_loss}
+            )
+            logger.log(gstep, epoch=ep, val_loss=val_loss)
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(ckpt_path, params, opt_state, ep, best_val)
+
+    return FNOTrainResult(params=params, best_val=best_val, history=history)
