@@ -83,9 +83,11 @@ def main():
 
     # ---- training throughput -------------------------------------------
     # warmup / compile
+    t0 = time.perf_counter()
     for _ in range(3):
         params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx)
     jax.block_until_ready(params)
+    print(f"[bench] train-step compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     n_steps = 200
     t0 = time.perf_counter()
@@ -94,17 +96,26 @@ def main():
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
     steps_per_sec = n_steps / dt
+    final_loss = float(loss)
+    print(
+        f"[bench] {n_steps} steps in {dt:.2f}s = {steps_per_sec:.1f} steps/s "
+        f"(loss={final_loss:.4f})",
+        file=sys.stderr, flush=True,
+    )
 
     # ---- 100-step rollout wall-clock ------------------------------------
-    def apply_fn(x, g):
-        return model.apply({"params": params}, x, g)
-
     xb = jnp.asarray(rng.normal(size=(BATCH, NX, NY, INITIAL_STEP, CHANNELS)).astype(np.float32))
     gb = jnp.broadcast_to(grid[None], (BATCH, NX, NY, 2))
-    ro = jax.jit(lambda x, g: rollout_predict(apply_fn, x, g, 100))
-    jax.block_until_ready(ro(xb, gb))  # compile
+    ro = jax.jit(
+        lambda p, x, g: rollout_predict(
+            lambda a, b: model.apply({"params": p}, a, b), x, g, 100
+        )
+    )
     t0 = time.perf_counter()
-    jax.block_until_ready(ro(xb, gb))
+    jax.block_until_ready(ro(params, xb, gb))  # compile
+    print(f"[bench] rollout compile: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    jax.block_until_ready(ro(params, xb, gb))
     rollout_s = time.perf_counter() - t0
 
     details = {
@@ -115,7 +126,7 @@ def main():
         "train_step_ms": 1000.0 / steps_per_sec,
         "rollout100_wall_s": rollout_s,
         "rollout100_steps_per_sec": 100.0 / rollout_s,
-        "final_loss": float(loss),
+        "final_loss": final_loss,
     }
     print(json.dumps(details), file=sys.stderr)
 

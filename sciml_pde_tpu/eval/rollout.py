@@ -51,6 +51,7 @@ def evaluate_rollout(
     batch_size: int = 8,
     iLow: int = 4,
     iHigh: int = 12,
+    params=None,
 ) -> dict[str, float]:
     """Rollout eval over the test split: six metrics on the final step.
 
@@ -59,16 +60,24 @@ def evaluate_rollout(
     final prediction against the final target frame.  (The reference divides
     accumulated sums by the last batch *index*; we divide by the batch
     count.)
+
+    If ``params`` is given, ``apply_fn(params, x, grid)`` is used and params
+    are passed as a jit argument (closing over device arrays would embed
+    them as compile-time constants — slow, and a host transfer some TPU
+    backends reject).
     """
     idx = test.window_index()
     n = len(idx)
     grid = test.grid
+    data = test.data
+    initial_step = test.initial_step
 
-    @jax.jit
-    def batch_metrics(batch_idx):
-        x, y = gather_windows(test.data, batch_idx, test.initial_step, rollout_test)
+    @partial(jax.jit, static_argnames=())
+    def batch_metrics(p, batch_idx):
+        x, y = gather_windows(data, batch_idx, initial_step, rollout_test)
         gb = jnp.broadcast_to(grid[None], (batch_idx.shape[0],) + grid.shape)
-        preds = rollout_predict(apply_fn, x, gb, rollout_test)
+        fn = apply_fn if params is None else (lambda a, b: apply_fn(p, a, b))
+        preds = rollout_predict(fn, x, gb, rollout_test)
         final_pred = preds[..., -1:, :]
         final_tar = y[..., -1:, :]
         return metric_func(final_pred, final_tar, if_mean=True, iLow=iLow, iHigh=iHigh)
@@ -78,7 +87,7 @@ def evaluate_rollout(
     nb = 0
     for b in range(0, n, batch_size):
         chunk = idx[b : b + batch_size]  # last chunk may be ragged (one extra compile)
-        vals = batch_metrics(jnp.asarray(chunk))
+        vals = batch_metrics(params, jnp.asarray(chunk))
         sums += np.array([float(v) for v in vals])
         nb += 1
     return {k: v / nb for k, v in zip(names, sums)}

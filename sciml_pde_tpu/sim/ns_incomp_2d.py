@@ -1,0 +1,362 @@
+"""2D incompressible Navier-Stokes simulator, JAX-native.
+
+Capability parity with the reference's phiflow pipeline
+(``pdebench/data_gen/src/sim_ns_incomp_2d.py:34-341``; production config
+``data_gen/configs/ns_incomp.yaml``): noise-initialised density
+("particles", centered grid) and velocity (staggered MAC grid) in a closed
+unit box, random smooth force field, per step
+
+    semi-Lagrangian advection -> explicit diffusion
+    -> velocity += DT * particles * force -> pressure projection (CG)
+    -> particle advection
+
+storing every ``frame_int``-th frame, batched over ``n_batch`` trajectories.
+
+TPU-first design: the entire inner loop (frame_int momentum steps + CG
+pressure solve) is one jitted ``lax.scan``; CG runs as ``lax.while_loop``
+with a relative-tolerance stop (the reference's Solve('CG-adaptive', 1e-3,
+0)); everything is vmapped over the batch.  No host round-trips until a
+frame is stored.
+
+Grid layout (MAC):
+  p, particles: (nx, ny) cell centers
+  u: (nx+1, ny) x-normal faces;  v: (nx, ny+1) y-normal faces
+  closed box: u[0]=u[-1]=0, v[:,0]=v[:,-1]=0  (velocity extrapolation ZERO)
+  particles sample with edge clamping          (extrapolation BOUNDARY)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sciml_pde_tpu.sim.grf import spectral_noise
+
+
+@dataclasses.dataclass(frozen=True)
+class NSIncompConfig:
+    """Defaults = the production dataset config (ns_incomp.yaml)."""
+
+    grid_size: tuple[int, int] = (256, 256)
+    domain_size: tuple[float, float] = (1.0, 1.0)
+    nu: float = 0.05
+    dt: float = 5e-5
+    n_steps: int = 100_000
+    frame_int: int = 100
+    n_batch: int = 4
+    scale: float = 0.15
+    smoothness: float = 3.0
+    force_scale: float = 0.4
+    force_smoothness: float = 1.0
+    cg_tol: float = 1e-3
+    cg_max_iter: int = 1000
+
+    @property
+    def dx(self) -> float:
+        return self.domain_size[0] / self.grid_size[0]
+
+    @property
+    def dy(self) -> float:
+        return self.domain_size[1] / self.grid_size[1]
+
+    @property
+    def n_frames(self) -> int:
+        return (self.n_steps - 1) // self.frame_int + 1
+
+
+# --------------------------------------------------------------------------
+# staggered-grid helpers (single sample; batch via vmap)
+# --------------------------------------------------------------------------
+
+
+def _u_positions(nx, ny):
+    """Face-center coordinates in cell units: u at (i, j+0.5)."""
+    xi = jnp.arange(nx + 1, dtype=jnp.float32)
+    yj = jnp.arange(ny, dtype=jnp.float32) + 0.5
+    return xi[:, None], yj[None, :]
+
+
+def _v_positions(nx, ny):
+    xi = jnp.arange(nx, dtype=jnp.float32) + 0.5
+    yj = jnp.arange(ny + 1, dtype=jnp.float32)
+    return xi[:, None], yj[None, :]
+
+
+def _c_positions(nx, ny):
+    xi = jnp.arange(nx, dtype=jnp.float32) + 0.5
+    yj = jnp.arange(ny, dtype=jnp.float32) + 0.5
+    return xi[:, None], yj[None, :]
+
+
+def bilinear(field: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray, zero_outside: bool):
+    """Sample ``field`` (defined on integer lattice points) at (x, y).
+
+    zero_outside=True  -> value 0 beyond the lattice (extrapolation ZERO)
+    zero_outside=False -> clamp to edge (extrapolation BOUNDARY)
+    """
+    nx, ny = field.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    tx = x - x0
+    ty = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def get(ix, iy):
+        ixc = jnp.clip(ix, 0, nx - 1)
+        iyc = jnp.clip(iy, 0, ny - 1)
+        vals = field[ixc, iyc]
+        if zero_outside:
+            inside = (ix >= 0) & (ix <= nx - 1) & (iy >= 0) & (iy <= ny - 1)
+            vals = jnp.where(inside, vals, 0.0)
+        return vals
+
+    v00 = get(x0i, y0i)
+    v10 = get(x0i + 1, y0i)
+    v01 = get(x0i, y0i + 1)
+    v11 = get(x0i + 1, y0i + 1)
+    return (
+        v00 * (1 - tx) * (1 - ty)
+        + v10 * tx * (1 - ty)
+        + v01 * (1 - tx) * ty
+        + v11 * tx * ty
+    )
+
+
+def _apply_wall_bc(u: jnp.ndarray, v: jnp.ndarray):
+    """Zero normal velocity at the box walls."""
+    u = u.at[0, :].set(0.0).at[-1, :].set(0.0)
+    v = v.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    return u, v
+
+
+def velocity_at(u, v, x, y):
+    """Full velocity (in cell units per unit time) at arbitrary points.
+
+    u lattice point (i, j) sits at (i, j+0.5); v point (i, j) at (i+0.5, j).
+    """
+    us = bilinear(u, x, y - 0.5, zero_outside=True)
+    vs = bilinear(v, x - 0.5, y, zero_outside=True)
+    return us, vs
+
+
+def advect_staggered(u, v, dt_cells):
+    """Semi-Lagrangian advection of the staggered velocity by itself.
+
+    dt_cells: dt expressed so that u*dt is a displacement in cell units
+    (u is stored in physical units; displacement = u*dt/dx).
+    """
+    nx, ny = u.shape[0] - 1, v.shape[1] - 1
+    dtu, dtv = dt_cells
+
+    ux, uy = _u_positions(nx, ny)
+    uu, uv = velocity_at(u, v, ux, uy)
+    bx, by = ux - dtu * uu, uy - dtv * uv
+    u_new = bilinear(u, bx, by - 0.5, zero_outside=True)
+
+    vx, vy = _v_positions(nx, ny)
+    vu, vv = velocity_at(u, v, vx, vy)
+    bx, by = vx - dtu * vu, vy - dtv * vv
+    v_new = bilinear(v, bx - 0.5, by, zero_outside=True)
+    return _apply_wall_bc(u_new, v_new)
+
+
+def advect_centered(c, u, v, dt_cells):
+    """Semi-Lagrangian advection of a centered field (clamped sampling)."""
+    nx, ny = c.shape
+    dtu, dtv = dt_cells
+    cx, cy = _c_positions(nx, ny)
+    cu, cv = velocity_at(u, v, cx, cy)
+    bx, by = cx - dtu * cu, cy - dtv * cv
+    return bilinear(c, bx - 0.5, by - 0.5, zero_outside=False)
+
+
+def diffuse_explicit_u(u, nu_dt_dx2, nu_dt_dy2):
+    """Explicit diffusion of a face field; Dirichlet-0 beyond walls in the
+    normal direction, Neumann (edge) tangentially — matching a ZERO
+    velocity extrapolation."""
+    px = jnp.pad(u, ((1, 1), (0, 0)))  # zero
+    py = jnp.pad(u, ((0, 0), (1, 1)), mode="edge")
+    lap = (px[2:, :] - 2 * u + px[:-2, :]) * nu_dt_dx2 + (
+        py[:, 2:] - 2 * u + py[:, :-2]
+    ) * nu_dt_dy2
+    return u + lap
+
+
+def diffuse_explicit_v(v, nu_dt_dx2, nu_dt_dy2):
+    px = jnp.pad(v, ((1, 1), (0, 0)), mode="edge")
+    py = jnp.pad(v, ((0, 0), (1, 1)))  # zero
+    lap = (px[2:, :] - 2 * v + px[:-2, :]) * nu_dt_dx2 + (
+        py[:, 2:] - 2 * v + py[:, :-2]
+    ) * nu_dt_dy2
+    return v + lap
+
+
+def divergence(u, v, dx, dy):
+    return (u[1:, :] - u[:-1, :]) / dx + (v[:, 1:] - v[:, :-1]) / dy
+
+
+def _lap_neumann(p, dx, dy):
+    """Pressure Laplacian with Neumann BC (closed box)."""
+    px = jnp.concatenate([p[:1], p, p[-1:]], axis=0)
+    py = jnp.concatenate([p[:, :1], p, p[:, -1:]], axis=1)
+    return (px[2:] - 2 * p + px[:-2]) / dx**2 + (py[:, 2:] - 2 * p + py[:, :-2]) / dy**2
+
+
+def solve_pressure_cg(div, dx, dy, tol, max_iter):
+    """Matrix-free CG for lap(p) = div with Neumann BCs.
+
+    Relative-tolerance stop (reference Solve('CG-adaptive', 1e-3, 0)).
+    The Neumann operator is singular (constant nullspace); rhs is projected
+    to mean zero, which makes the system compatible.
+    """
+    # CG needs a positive-(semi)definite operator; the Laplacian is negative
+    # semidefinite, so solve (-lap) p = -(div - mean) instead.
+    b = -(div - jnp.mean(div))
+    bnorm = jnp.linalg.norm(b) + 1e-30
+
+    def A(p):
+        return -_lap_neumann(p, dx, dy)
+
+    p0 = jnp.zeros_like(b)
+    r0 = b
+    d0 = r0
+    rs0 = jnp.vdot(r0, r0).real
+
+    # Past the float32 floor the singular (Neumann) system makes CG diverge
+    # again, so track the best iterate and stop on stagnation/divergence.
+    def cond(state):
+        _, _, _, rs, _, rs_best, it = state
+        converged = jnp.sqrt(rs_best) <= tol * bnorm
+        diverging = rs > 1e4 * rs_best
+        return (~converged) & (~diverging) & (it < max_iter)
+
+    def body(state):
+        p, r, d, rs, p_best, rs_best, it = state
+        Ad = A(d)
+        alpha = rs / (jnp.vdot(d, Ad).real + 1e-30)
+        p = p + alpha * d
+        r = r - alpha * Ad
+        rs_new = jnp.vdot(r, r).real
+        d = r + (rs_new / (rs + 1e-30)) * d
+        better = rs_new < rs_best
+        p_best = jnp.where(better, p, p_best)
+        rs_best = jnp.where(better, rs_new, rs_best)
+        return p, r, d, rs_new, p_best, rs_best, it + 1
+
+    *_, p_best, _, _ = jax.lax.while_loop(
+        cond, body, (p0, r0, d0, rs0, p0, rs0, jnp.int32(0))
+    )
+    return p_best - jnp.mean(p_best)
+
+
+def project(u, v, dx, dy, tol, max_iter):
+    """Make the staggered velocity divergence-free."""
+    div = divergence(u, v, dx, dy)
+    p = solve_pressure_cg(div, dx, dy, tol, max_iter)
+    u = u.at[1:-1, :].add(-(p[1:, :] - p[:-1, :]) / dx)
+    v = v.at[:, 1:-1].add(-(p[:, 1:] - p[:, :-1]) / dy)
+    return _apply_wall_bc(u, v)
+
+
+def interp_center_to_u(c):
+    """Centered field -> x-face positions (edge clamp at walls)."""
+    mid = 0.5 * (c[1:, :] + c[:-1, :])
+    return jnp.concatenate([c[:1, :], mid, c[-1:, :]], axis=0)
+
+
+def interp_center_to_v(c):
+    mid = 0.5 * (c[:, 1:] + c[:, :-1])
+    return jnp.concatenate([c[:, :1], mid, c[:, -1:]], axis=1)
+
+
+def staggered_to_centered(u, v):
+    """Resample MAC velocity to cell centers: (nx, ny, 2) — the stored
+    layout (reference data_io.to_centre_grid / to_ndarray)."""
+    uc = 0.5 * (u[1:, :] + u[:-1, :])
+    vc = 0.5 * (v[:, 1:] + v[:, :-1])
+    return jnp.stack([uc, vc], axis=-1)
+
+
+# --------------------------------------------------------------------------
+# full simulation
+# --------------------------------------------------------------------------
+
+
+def momentum_step(u, v, c, fu, fv, cfg: NSIncompConfig):
+    """One cauchy-momentum step (reference sim_ns_incomp_2d.py:146-181)."""
+    dt_cells = (cfg.dt / cfg.dx, cfg.dt / cfg.dy)
+    u, v = advect_staggered(u, v, dt_cells)
+    u = diffuse_explicit_u(u, cfg.nu * cfg.dt / cfg.dx**2, cfg.nu * cfg.dt / cfg.dy**2)
+    v = diffuse_explicit_v(v, cfg.nu * cfg.dt / cfg.dx**2, cfg.nu * cfg.dt / cfg.dy**2)
+    # external force, modulated by the local density (reference :170)
+    u = u + cfg.dt * interp_center_to_u(c) * fu
+    v = v + cfg.dt * interp_center_to_v(c) * fv
+    u, v = _apply_wall_bc(u, v)
+    u, v = project(u, v, cfg.dx, cfg.dy, cfg.cg_tol, cfg.cg_max_iter)
+    c = advect_centered(c, u, v, dt_cells)
+    return u, v, c
+
+
+def init_state(key, cfg: NSIncompConfig):
+    """Noise-initialised state for one trajectory (phiflow Noise parity in
+    distribution: smooth power-law fields)."""
+    nx, ny = cfg.grid_size
+    kc, ku, kv, kfu, kfv = jax.random.split(key, 5)
+    c = spectral_noise(kc, (nx, ny), cfg.scale, cfg.smoothness)
+    u = spectral_noise(ku, (nx + 1, ny), cfg.scale, cfg.smoothness)
+    v = spectral_noise(kv, (nx, ny + 1), cfg.scale, cfg.smoothness)
+    fu = spectral_noise(kfu, (nx + 1, ny), cfg.force_scale, cfg.force_smoothness)
+    fv = spectral_noise(kfv, (nx, ny + 1), cfg.force_scale, cfg.force_smoothness)
+    u, v = _apply_wall_bc(u, v)
+    return u, v, c, fu, fv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def simulate_ns_frames(state, cfg: NSIncompConfig):
+    """Run the full simulation, returning stored frames.
+
+    state: batched (via leading vmap) or single (u, v, c, fu, fv).
+    Returns velocity (n_frames, nx, ny, 2), particles (n_frames, nx, ny, 1)
+    including the initial frame.
+    """
+    u, v, c, fu, fv = state
+
+    def inner(carry, _):
+        u, v, c = carry
+        u, v, c = momentum_step(u, v, c, fu, fv, cfg)
+        return (u, v, c), None
+
+    def frame(carry, _):
+        carry, _ = jax.lax.scan(inner, carry, None, length=cfg.frame_int)
+        u, v, c = carry
+        return carry, (staggered_to_centered(u, v), c[..., None])
+
+    (u, v, c), (vel, par) = jax.lax.scan(
+        frame, (u, v, c), None, length=cfg.n_frames - 1
+    )
+    vel0 = staggered_to_centered(*state[:2])[None]
+    par0 = state[2][..., None][None]
+    return (
+        jnp.concatenate([vel0, vel], axis=0),
+        jnp.concatenate([par0, par], axis=0),
+    )
+
+
+def simulate_ns_batch(seed: int, cfg: NSIncompConfig):
+    """Batched trajectories: returns (velocity (B,T,nx,ny,2),
+    particles (B,T,nx,ny,1), force (B,nx,ny,2), t (B,T))."""
+    keys = jax.random.split(jax.random.PRNGKey(seed), cfg.n_batch)
+    states = jax.vmap(lambda k: init_state(k, cfg))(keys)
+    vel, par = jax.vmap(lambda s: simulate_ns_frames(s, cfg))(states)
+    fu, fv = states[3], states[4]
+    force = jax.vmap(staggered_to_centered)(fu, fv)
+    ts = np.broadcast_to(
+        (np.arange(cfg.n_frames) * cfg.frame_int * cfg.dt).astype(np.float32),
+        (cfg.n_batch, cfg.n_frames),
+    )
+    return vel, par, force, ts
