@@ -81,18 +81,20 @@ def main():
     grid_r = replicate(grid, mesh)
     bidx = shard_batch(idx, mesh)
 
+    key = jax.random.PRNGKey(0)
+
     # ---- training throughput -------------------------------------------
     # warmup / compile
     t0 = time.perf_counter()
     for _ in range(3):
-        params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx)
+        params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx, key)
     jax.block_until_ready(params)
     print(f"[bench] train-step compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
     n_steps = 200
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx)
+        params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx, key)
     jax.block_until_ready(params)
     dt = time.perf_counter() - t0
     steps_per_sec = n_steps / dt

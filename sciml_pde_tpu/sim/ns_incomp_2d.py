@@ -54,6 +54,11 @@ class NSIncompConfig:
     force_smoothness: float = 1.0
     cg_tol: float = 1e-3
     cg_max_iter: int = 1000
+    # decomposition knobs for the "basic physics form" aux datasets
+    enable_advection: bool = True
+    enable_diffusion: bool = True
+    enable_force: bool = True
+    enable_projection: bool = True
 
     @property
     def dx(self) -> float:
@@ -288,16 +293,23 @@ def staggered_to_centered(u, v):
 
 
 def momentum_step(u, v, c, fu, fv, cfg: NSIncompConfig):
-    """One cauchy-momentum step (reference sim_ns_incomp_2d.py:146-181)."""
+    """One cauchy-momentum step (reference sim_ns_incomp_2d.py:146-181).
+
+    The enable_* flags select the decomposed basic forms (convection-only /
+    diffusion-only / no-pressure aux datasets)."""
     dt_cells = (cfg.dt / cfg.dx, cfg.dt / cfg.dy)
-    u, v = advect_staggered(u, v, dt_cells)
-    u = diffuse_explicit_u(u, cfg.nu * cfg.dt / cfg.dx**2, cfg.nu * cfg.dt / cfg.dy**2)
-    v = diffuse_explicit_v(v, cfg.nu * cfg.dt / cfg.dx**2, cfg.nu * cfg.dt / cfg.dy**2)
-    # external force, modulated by the local density (reference :170)
-    u = u + cfg.dt * interp_center_to_u(c) * fu
-    v = v + cfg.dt * interp_center_to_v(c) * fv
+    if cfg.enable_advection:
+        u, v = advect_staggered(u, v, dt_cells)
+    if cfg.enable_diffusion:
+        u = diffuse_explicit_u(u, cfg.nu * cfg.dt / cfg.dx**2, cfg.nu * cfg.dt / cfg.dy**2)
+        v = diffuse_explicit_v(v, cfg.nu * cfg.dt / cfg.dx**2, cfg.nu * cfg.dt / cfg.dy**2)
+    if cfg.enable_force:
+        # external force, modulated by the local density (reference :170)
+        u = u + cfg.dt * interp_center_to_u(c) * fu
+        v = v + cfg.dt * interp_center_to_v(c) * fv
     u, v = _apply_wall_bc(u, v)
-    u, v = project(u, v, cfg.dx, cfg.dy, cfg.cg_tol, cfg.cg_max_iter)
+    if cfg.enable_projection:
+        u, v = project(u, v, cfg.dx, cfg.dy, cfg.cg_tol, cfg.cg_max_iter)
     c = advect_centered(c, u, v, dt_cells)
     return u, v, c
 

@@ -54,11 +54,20 @@ def _broadcast_grid(grid: jnp.ndarray, b: int) -> jnp.ndarray:
 
 
 def build_baseline_step(
-    model, tx, initial_step: int, rollout: int, training_type: str = "single", t_train: int | None = None
+    model,
+    tx,
+    initial_step: int,
+    rollout: int,
+    training_type: str = "single",
+    t_train: int | None = None,
+    lie_augment: bool = False,
 ):
     """One jitted optimizer step for the baseline FNO.
 
     Batch = (B, 2) int32 window indices into the trajectory store.
+    With ``lie_augment`` the gathered NS window is Lie-transformed on device
+    inside the step (reference applies LPSNavierStokes in DataLoader
+    workers, fno/utils_2d_ns_baseline_lie.py:161-209).
     """
 
     def single_loss(params, x, y, grid):
@@ -89,9 +98,20 @@ def build_baseline_step(
         loss_fn = single_loss
         gather_rollout = rollout
 
+    def maybe_augment(x, y, key):
+        if not lie_augment:
+            return x, y
+        from sciml_pde_tpu.sim.lie import augment_ns_window
+
+        win = jnp.concatenate([x, y], axis=-2)
+        keys = jax.random.split(key, win.shape[0])
+        win = jax.vmap(augment_ns_window)(win, keys)
+        return win[..., :initial_step, :], win[..., initial_step:, :]
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, data, grid, idx):
+    def step(params, opt_state, data, grid, idx, key):
         x, y = gather_windows(data, idx, initial_step, gather_rollout)
+        x, y = maybe_augment(x, y, key)
         gb = _broadcast_grid(grid, idx.shape[0])
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
         g_norm = optax.global_norm(grads)
@@ -109,20 +129,32 @@ def build_baseline_step(
 
 
 def build_aux_step(
-    model, tx, initial_step: int, rollout: int, num_aux_samples: int, auxiliary_weight: float
+    model,
+    tx,
+    initial_step: int,
+    rollout: int,
+    num_aux_samples: int,
+    auxiliary_weight: float,
+    aux_row_map: np.ndarray | None = None,
 ):
     """One jitted optimizer step for two-head aux joint training.
 
-    Aux pairing (reference fno_aux/utils_2d_rd.py:131-146): primary
-    trajectory p at window t0 pairs with aux trajectories
-    p*nA + (0..nA-1) at the same t0; the aux batch is flattened to B*nA.
+    Aux pairing: by default the DR scheme (reference
+    fno_aux/utils_2d_rd.py:131-146) — primary trajectory p pairs with aux
+    trajectories p*nA + (0..nA-1) at the same t0, aux batch flattened to
+    B*nA.  ``aux_row_map`` ((Np, nA) int32) overrides it for per-file
+    pairings like NS (fno_aux/utils_2d_ns.py:82-106).
     """
+    row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
 
     def aux_indices(idx):
         p = idx[:, 0]
         t0 = idx[:, 1]
-        offs = jnp.arange(num_aux_samples, dtype=idx.dtype)
-        ap = (p[:, None] * num_aux_samples + offs[None, :]).reshape(-1)
+        if row_map is None:
+            offs = jnp.arange(num_aux_samples, dtype=idx.dtype)
+            ap = (p[:, None] * num_aux_samples + offs[None, :]).reshape(-1)
+        else:
+            ap = jnp.asarray(row_map)[p].reshape(-1)
         at = jnp.repeat(t0, num_aux_samples)
         return jnp.stack([ap, at], axis=1)
 
@@ -175,6 +207,11 @@ def run_training(
     *,
     base_path: str,
     aux_path: str | None = None,
+    dataset_family: str = "dr",  # dr | ns
+    lie_augment: bool = False,
+    sim_name: str = "ns_incom_inhom_2d_256",
+    aux_name: str = "ns_aux_2d_256",
+    test_range=(250, 275),
     if_aux: bool = False,
     if_downsample: bool = False,
     train_subsample=(900, 900, 900),
@@ -210,28 +247,43 @@ def run_training(
     rng = np.random.default_rng(seed)
     logger = MetricLogger(run_dir, name=model_name, echo_every=1)
 
+    aux_row_map = None
     if if_aux:
-        ds = load_dr_aux(
-            base_path,
-            aux_path,
-            train_subsample=tuple(train_subsample),
-            num_aux_samples=num_aux_samples,
-            initial_step=initial_step,
-            rollout_test=rollout_test,
-            if_downsample=if_downsample,
-        )
+        if dataset_family == "ns":
+            from sciml_pde_tpu.data.ns import load_ns_aux
+
+            ds = load_ns_aux(
+                base_path, aux_path, train_subsample=tuple(train_subsample),
+                num_aux_samples=num_aux_samples, initial_step=initial_step,
+                rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
+                if_downsample=if_downsample, test_range=test_range,
+            )
+            aux_row_map = ds.aux_row_map
+        else:
+            ds = load_dr_aux(
+                base_path, aux_path, train_subsample=tuple(train_subsample),
+                num_aux_samples=num_aux_samples, initial_step=initial_step,
+                rollout_test=rollout_test, if_downsample=if_downsample,
+            )
         train_w, test_w = ds.primary_train, ds.primary_test
         model = FNO2dAux(
             num_channels=num_channels, modes1=modes, modes2=modes, width=width,
             initial_step=initial_step,
         )
     else:
-        ds = load_dr_baseline(
-            base_path,
-            train_subsample=train_subsample[0],
-            initial_step=initial_step,
-            rollout_test=rollout_test,
-        )
+        if dataset_family == "ns":
+            from sciml_pde_tpu.data.ns import load_ns_baseline
+
+            ds = load_ns_baseline(
+                base_path, train_subsample=train_subsample[0],
+                initial_step=initial_step, rollout_test=rollout_test,
+                sim_name=sim_name, test_range=test_range,
+            )
+        else:
+            ds = load_dr_baseline(
+                base_path, train_subsample=train_subsample[0],
+                initial_step=initial_step, rollout_test=rollout_test,
+            )
         train_w, test_w = ds.train, ds.test
         model = FNO2d(
             num_channels=num_channels, modes1=modes, modes2=modes, width=width,
@@ -258,7 +310,8 @@ def run_training(
             total_steps, scheduler, 1e-4, scheduler_step, scheduler_gamma,
         )
         step_fn, val_fn = build_aux_step(
-            model, tx, initial_step, rollout_test, num_aux_samples, auxiliary_weight
+            model, tx, initial_step, rollout_test, num_aux_samples, auxiliary_weight,
+            aux_row_map=aux_row_map,
         )
     else:
         params = model.init(key, x0, g0)["params"]
@@ -266,7 +319,8 @@ def run_training(
             learning_rate, total_steps, scheduler, 1e-4, scheduler_step, scheduler_gamma
         )
         step_fn, val_fn = build_baseline_step(
-            model, tx, initial_step, rollout_test, training_type, t_train
+            model, tx, initial_step, rollout_test, training_type, t_train,
+            lie_augment=lie_augment,
         )
 
     opt_state = tx.init(params)
@@ -298,7 +352,8 @@ def run_training(
                 )
             else:
                 params, opt_state, loss, g_norm = step_fn(
-                    params, opt_state, train_w.data, train_w.grid, bidx
+                    params, opt_state, train_w.data, train_w.grid, bidx,
+                    jax.random.fold_in(key, gstep),
                 )
             gstep += 1
             train_loss_sum += float(loss)
