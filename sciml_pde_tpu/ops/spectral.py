@@ -48,7 +48,10 @@ def _mode_mix(x_blk: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 @functools.lru_cache(maxsize=128)
 def _dft_factors_1d(n: int, modes: int, rows: tuple[int, ...] | None):
-    """Partial-DFT bases along one axis of length n.
+    """Partial-DFT bases along one axis of length n, as (real, imag) float32
+    pairs — complex arrays never touch device_put (some TPU runtimes cannot
+    H2D-transfer complex dtypes), and the split-real form lets the inverse
+    compute only the real part of the output.
 
     If ``rows`` is None: retained frequencies are 0..modes-1 (the rfft axis).
       fwd:  (n, modes)  e^{-2pi i k x / n}
@@ -60,14 +63,32 @@ def _dft_factors_1d(n: int, modes: int, rows: tuple[int, ...] | None):
     xs = np.arange(n)
     if rows is None:
         ks = np.arange(modes)
-        fwd = np.exp(-2j * np.pi * np.outer(xs, ks) / n)
-        c = np.where((ks > 0) & (ks < n / 2), 2.0, 1.0)
-        inv = c[:, None] * np.exp(2j * np.pi * np.outer(ks, xs) / n) / n
+        ang_f = -2 * np.pi * np.outer(xs, ks) / n
+        c = np.where((ks > 0) & (ks < n / 2), 2.0, 1.0)[:, None]
+        ang_i = 2 * np.pi * np.outer(ks, xs) / n
+        fwd = (np.cos(ang_f), np.sin(ang_f))
+        inv = (c * np.cos(ang_i) / n, c * np.sin(ang_i) / n)
     else:
         ks = np.asarray(rows)
-        fwd = np.exp(-2j * np.pi * np.outer(xs, ks) / n)
-        inv = np.exp(2j * np.pi * np.outer(ks, xs) / n) / n
-    return fwd.astype(np.complex64), inv.astype(np.complex64)
+        ang_f = -2 * np.pi * np.outer(xs, ks) / n
+        ang_i = 2 * np.pi * np.outer(ks, xs) / n
+        fwd = (np.cos(ang_f), np.sin(ang_f))
+        inv = (np.cos(ang_i) / n, np.sin(ang_i) / n)
+    return (
+        tuple(a.astype(np.float32) for a in fwd),
+        tuple(a.astype(np.float32) for a in inv),
+    )
+
+
+def _cmul_mm(ar, ai, br, bi, eq: str, prec):
+    """Complex multiply-contract via real einsums: (ar+i ai) x (br+i bi)."""
+    rr = jnp.einsum(eq, ar, br, precision=prec)
+    if ai is None:  # real input (forward transform of a real signal)
+        return rr, jnp.einsum(eq, ar, bi, precision=prec)
+    return (
+        rr - jnp.einsum(eq, ai, bi, precision=prec),
+        jnp.einsum(eq, ar, bi, precision=prec) + jnp.einsum(eq, ai, br, precision=prec),
+    )
 
 
 def _corner_rows(n: int, m: int) -> tuple[int, ...]:
@@ -103,27 +124,29 @@ def spectral_conv_2d(
         out_ft = out_ft.at[:, h - modes1 :, :modes2].set(bot)
         return jnp.fft.irfft2(out_ft, s=(h, w), axes=(1, 2))
 
-    # ---- partial-DFT (MXU matmul) path ----------------------------------
+    # ---- partial-DFT (MXU matmul) path, pure-real arithmetic -------------
     prec = jax.lax.Precision.HIGHEST
-    fwd_w, inv_w = _dft_factors_1d(w, modes2, None)
-    fwd_h, inv_h = _dft_factors_1d(h, 2 * modes1, _corner_rows(h, modes1))
-    fwd_w, inv_w = jnp.asarray(fwd_w), jnp.asarray(inv_w)
-    fwd_h, inv_h = jnp.asarray(fwd_h), jnp.asarray(inv_h)
+    (fwr, fwi), (iwr, iwi) = _dft_factors_1d(w, modes2, None)
+    (fhr, fhi), (ihr, ihi) = _dft_factors_1d(h, 2 * modes1, _corner_rows(h, modes1))
 
-    xc = x.astype(jnp.complex64)
-    # W-axis partial rDFT: (B,H,W,C) @ (W,m2) -> (B,H,m2,C)
-    xw = jnp.einsum("bhwc,wk->bhkc", xc, fwd_w, precision=prec)
+    # W-axis partial rDFT of the real signal: (B,H,W,C) @ (W,m2)
+    xwr, xwi = _cmul_mm(x, None, jnp.asarray(fwr), jnp.asarray(fwi), "bhwc,wk->bhkc", prec)
     # H-axis partial DFT on the retained corner rows: -> (B,2m1,m2,C)
-    xf = jnp.einsum("bhkc,hr->brkc", xw, fwd_h, precision=prec)
+    xfr, xfi = _cmul_mm(xwr, xwi, jnp.asarray(fhr), jnp.asarray(fhi), "bhkc,hr->brkc", prec)
 
     # mode mixing: stack the two corner-row weight blocks along the row axis
-    wc = jnp.concatenate([_as_complex(w1), _as_complex(w2)], axis=2)  # (Ci,Co,2m1,m2)
-    yf = jnp.einsum("brkc,cork->brko", xf, wc, precision=prec)
+    wr = jnp.concatenate([w1[0], w2[0]], axis=2)  # (Ci,Co,2m1,m2)
+    wi = jnp.concatenate([w1[1], w2[1]], axis=2)
+    yfr, yfi = _cmul_mm(xfr, xfi, wr, wi, "brkc,cork->brko", prec)
 
-    # inverse: H rows back to physical, then Hermitian-weighted W inverse
-    yh = jnp.einsum("brko,rh->bhko", yf, inv_h, precision=prec)
-    out = jnp.einsum("bhko,kw->bhwo", yh, inv_w, precision=prec)
-    return jnp.real(out)
+    # inverse: H rows back to physical (complex), then the Hermitian-weighted
+    # W inverse — only the real part of the output is needed:
+    # Re[(yr + i yi)(gr + i gi)] = yr gr - yi gi
+    yhr, yhi = _cmul_mm(yfr, yfi, jnp.asarray(ihr), jnp.asarray(ihi), "brko,rh->bhko", prec)
+    out = jnp.einsum("bhko,kw->bhwo", yhr, jnp.asarray(iwr), precision=prec) - jnp.einsum(
+        "bhko,kw->bhwo", yhi, jnp.asarray(iwi), precision=prec
+    )
+    return out
 
 
 def spectral_conv_3d(
@@ -159,32 +182,31 @@ def spectral_conv_3d(
             out_ft = out_ft.at[:, sx, sy, :modes3].set(mixed)
         return jnp.fft.irfftn(out_ft, s=(nx, ny, nz), axes=(1, 2, 3))
 
-    # ---- partial-DFT (MXU matmul) path ----------------------------------
+    # ---- partial-DFT (MXU matmul) path, pure-real arithmetic -------------
     prec = jax.lax.Precision.HIGHEST
-    fwd_z, inv_z = _dft_factors_1d(nz, modes3, None)
-    fwd_x, inv_x = _dft_factors_1d(nx, 2 * modes1, _corner_rows(nx, modes1))
-    fwd_y, inv_y = _dft_factors_1d(ny, 2 * modes2, _corner_rows(ny, modes2))
-    fwd_z, inv_z = jnp.asarray(fwd_z), jnp.asarray(inv_z)
-    fwd_x, inv_x = jnp.asarray(fwd_x), jnp.asarray(inv_x)
-    fwd_y, inv_y = jnp.asarray(fwd_y), jnp.asarray(inv_y)
+    (fzr, fzi), (izr, izi) = _dft_factors_1d(nz, modes3, None)
+    (fxr, fxi), (ixr, ixi) = _dft_factors_1d(nx, 2 * modes1, _corner_rows(nx, modes1))
+    (fyr, fyi), (iyr, iyi) = _dft_factors_1d(ny, 2 * modes2, _corner_rows(ny, modes2))
 
-    xc = x.astype(jnp.complex64)
-    xz = jnp.einsum("bxyzc,zk->bxykc", xc, fwd_z, precision=prec)
-    xzy = jnp.einsum("bxykc,ys->bxskc", xz, fwd_y, precision=prec)
-    xf = jnp.einsum("bxskc,xr->brskc", xzy, fwd_x, precision=prec)  # (B,2m1,2m2,m3,C)
+    ar, ai = _cmul_mm(x, None, jnp.asarray(fzr), jnp.asarray(fzi), "bxyzc,zk->bxykc", prec)
+    ar, ai = _cmul_mm(ar, ai, jnp.asarray(fyr), jnp.asarray(fyi), "bxykc,ys->bxskc", prec)
+    ar, ai = _cmul_mm(ar, ai, jnp.asarray(fxr), jnp.asarray(fxi), "bxskc,xr->brskc", prec)
 
     # weight layout on the (2m1, 2m2) corner grid:
     #   rows [:m1] = +x block, rows [m1:] = -x block;
     #   cols [:m2] = +y block, cols [m2:] = -y block
-    wtop = jnp.concatenate([_as_complex(w1), _as_complex(w3)], axis=3)  # (Ci,Co,m1,2m2,m3)
-    wbot = jnp.concatenate([_as_complex(w2), _as_complex(w4)], axis=3)
-    wc = jnp.concatenate([wtop, wbot], axis=2)  # (Ci,Co,2m1,2m2,m3)
+    def corner(part):
+        top = jnp.concatenate([w1[part], w3[part]], axis=3)  # (Ci,Co,m1,2m2,m3)
+        bot = jnp.concatenate([w2[part], w4[part]], axis=3)
+        return jnp.concatenate([top, bot], axis=2)  # (Ci,Co,2m1,2m2,m3)
 
-    yf = jnp.einsum("brskc,corsk->brsko", xf, wc, precision=prec)
-    yx = jnp.einsum("brsko,rx->bxsko", yf, inv_x, precision=prec)
-    yxy = jnp.einsum("bxsko,sy->bxyko", yx, inv_y, precision=prec)
-    out = jnp.einsum("bxyko,kz->bxyzo", yxy, inv_z, precision=prec)
-    return jnp.real(out)
+    ar, ai = _cmul_mm(ar, ai, corner(0), corner(1), "brskc,corsk->brsko", prec)
+    ar, ai = _cmul_mm(ar, ai, jnp.asarray(ixr), jnp.asarray(ixi), "brsko,rx->bxsko", prec)
+    ar, ai = _cmul_mm(ar, ai, jnp.asarray(iyr), jnp.asarray(iyi), "bxsko,sy->bxyko", prec)
+    out = jnp.einsum("bxyko,kz->bxyzo", ar, jnp.asarray(izr), precision=prec) - jnp.einsum(
+        "bxyko,kz->bxyzo", ai, jnp.asarray(izi), precision=prec
+    )
+    return out
 
 
 def spectral_weight_init(key, in_channels: int, out_channels: int, *modes):
