@@ -1,0 +1,337 @@
+"""Transformer (VideoMAE operator) training drivers.
+
+Capability parity with the reference transformer trainers:
+  - 2D (``Transformer_2D_NS/Ours/train_transformer_aux_ns.py``):
+    backbone/head LR groups with wd 1e-4 (:36-53), cosine over optimizer
+    steps (:144-151), gradient accumulation (:239-256), fixed clip 5.0,
+    loss = primary + aux_weight * aux (:232-243), best-primary-val
+    checkpoint (:282-289), fp16 AMP -> bf16 on TPU (no GradScaler needed);
+  - 3D (``Transformer_3D_NS/Ours/train_transformer_aux_ns_3d.py``): linear
+    warmup -> cosine (SequentialLR, :134), clip 1.0;
+  - ``nn.DataParallel`` (:137-139) -> batch-index sharding over the mesh.
+
+TPU-first: gradient accumulation is ``optax.MultiSteps`` inside the one
+jitted step (no python-side microbatch loop), and the aux stream runs
+through the trunk in the same program as the primary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sciml_pde_tpu.data.windows import epoch_batches, gather_windows
+from sciml_pde_tpu.models.transformer import VideoMAEOperator, VideoMAEOperatorAux
+from sciml_pde_tpu.parallel import make_mesh, replicate, shard_batch
+from sciml_pde_tpu.train.optim import make_lr_schedule
+from sciml_pde_tpu.utils.checkpoint import save_checkpoint
+from sciml_pde_tpu.utils.logging import MetricLogger
+
+
+def transformer_nrmse(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """Per-sample nRMSE^2 over all non-batch dims (reference
+    train_transformer_aux_ns.py:30-33), mean-reduced."""
+    dims = tuple(range(1, pred.ndim))
+    tgt_norm = jnp.mean(tgt**2, axis=dims, keepdims=True) + 1e-7
+    return jnp.mean(jnp.mean((pred - tgt) ** 2, axis=dims, keepdims=True) / tgt_norm)
+
+
+def _head_group(path: tuple) -> str:
+    top = str(path[0]) if path else ""
+    return "heads" if top.startswith(("head_primary", "head_auxiliary")) else "backbone"
+
+
+def make_transformer_optimizer(
+    lr_share: float,
+    lr_heads: float,
+    total_steps: int,
+    scheduler: str = "cosine",
+    clip: float = 5.0,
+    weight_decay: float = 1e-4,
+    warmup_steps: int = 0,
+    grad_accum: int = 1,
+    scheduler_step: int = 100,
+    scheduler_gamma: float = 0.5,
+) -> optax.GradientTransformation:
+    def sched_for(lr):
+        base = make_lr_schedule(scheduler, lr, max(total_steps - warmup_steps, 1),
+                                scheduler_step, scheduler_gamma)
+        if warmup_steps > 0:
+            warm = optax.linear_schedule(0.0, lr, warmup_steps)
+            return optax.join_schedules([warm, base], [warmup_steps])
+        return base
+
+    def group_tx(lr):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(sched_for(lr)),
+        )
+
+    def label_fn(params):
+        return jax.tree_util.tree_map_with_path(
+            lambda path, _: _head_group(
+                tuple(getattr(p, "key", getattr(p, "idx", p)) for p in path)
+            ),
+            params,
+        )
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.multi_transform(
+            {"backbone": group_tx(lr_share), "heads": group_tx(lr_heads)}, label_fn
+        ),
+    )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
+
+
+def _to_tf_layout(x):
+    """(B, X, Y, T, C) window -> (B, T, H, W, C)."""
+    return jnp.moveaxis(x, -2, 1)
+
+
+def build_transformer_aux_step(
+    model, tx, initial_step: int, num_aux_samples: int, auxiliary_weight: float,
+    aux_row_map: np.ndarray | None = None,
+):
+    row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
+
+    def aux_indices(idx):
+        p, t0 = idx[:, 0], idx[:, 1]
+        if row_map is None:
+            offs = jnp.arange(num_aux_samples, dtype=idx.dtype)
+            ap = (p[:, None] * num_aux_samples + offs[None, :]).reshape(-1)
+        else:
+            ap = jnp.asarray(row_map)[p].reshape(-1)
+        return jnp.stack([ap, jnp.repeat(t0, num_aux_samples)], axis=1)
+
+    def loss_fn(params, x, y, xa, ya):
+        pred_p, pred_a = model.apply({"params": params}, x, xa)
+        lp = transformer_nrmse(pred_p, y)
+        la = transformer_nrmse(pred_a, ya)
+        return lp + auxiliary_weight * la, (lp, la)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, data_p, data_a, idx):
+        x, y = gather_windows(data_p, idx, initial_step, 1)
+        a_idx = aux_indices(idx)
+        xa, ya = gather_windows(data_a, a_idx, initial_step, 1)
+        x, xa = _to_tf_layout(x), _to_tf_layout(xa)
+        yf, yaf = y[..., 0, :], ya[..., 0, :]  # next frame (B, H, W, C)
+        (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, yf, xa, yaf
+        )
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss, lp, la), g_norm
+
+    @jax.jit
+    def val_primary(params, data_p, idx):
+        x, y = gather_windows(data_p, idx, initial_step, 1)
+        x = _to_tf_layout(x)
+        pred_p, _ = model.apply({"params": params}, x, x)
+        return transformer_nrmse(pred_p, y[..., 0, :])
+
+    return step, val_primary
+
+
+def build_transformer_baseline_step(model, tx, initial_step: int):
+    def loss_fn(params, x, y):
+        pred = model.apply({"params": params}, x)
+        return transformer_nrmse(pred, y)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, data, idx):
+        x, y = gather_windows(data, idx, initial_step, 1)
+        x = _to_tf_layout(x)
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y[..., 0, :])
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, g_norm
+
+    @jax.jit
+    def val(params, data, idx):
+        x, y = gather_windows(data, idx, initial_step, 1)
+        return loss_fn(params, _to_tf_layout(x), y[..., 0, :])
+
+    return step, val
+
+
+@dataclasses.dataclass
+class TransformerTrainResult:
+    params: Any
+    best_val: float
+    history: list[dict]
+
+
+def run_transformer_training(
+    *,
+    base_path: str,
+    aux_path: str | None = None,
+    dataset_family: str = "ns",  # ns | dr
+    if_aux: bool = True,
+    if_downsample: bool = False,
+    sim_name: str = "ns_incom_inhom_2d_256",
+    aux_name: str = "ns_aux_2d_256",
+    test_range=(250, 275),
+    train_subsample=(900, 900, 900),
+    num_aux_samples: int = 24,
+    auxiliary_weight: float = 0.7,
+    img_size: int = 256,
+    patch_size: int = 16,
+    tubelet_size: int = 2,
+    in_chans: int = 3,
+    encoder_embed_dim: int = 768,
+    encoder_depth: int = 12,
+    encoder_num_heads: int = 12,
+    decoder_embed_dim: int = 512,
+    decoder_depth: int = 8,
+    decoder_num_heads: int = 8,
+    drop_path_rate: float = 0.0,
+    use_checkpoint: bool = False,
+    bf16: bool = True,
+    initial_step: int = 10,
+    rollout_test: int = 1,
+    batch_size: int = 4,
+    epochs: int = 100,
+    learning_rate_share: float = 1e-3,
+    learning_rate_heads: float = 1e-3,
+    scheduler: str = "cosine",
+    grad_accum: int = 1,
+    clip: float = 5.0,
+    warmup_steps: int = 0,
+    model_update: int = 1,
+    seed: int = 16,
+    run_dir: str = "runs/transformer",
+    model_name: str = "vmae_ns",
+    log_every: int = 50,
+) -> TransformerTrainResult:
+    mesh = make_mesh()
+    rng = np.random.default_rng(seed)
+    logger = MetricLogger(run_dir, name=model_name, echo_every=1)
+
+    aux_row_map = None
+    if dataset_family == "ns":
+        from sciml_pde_tpu.data.ns import load_ns_aux, load_ns_baseline
+
+        if if_aux:
+            ds = load_ns_aux(
+                base_path, aux_path, train_subsample=tuple(train_subsample),
+                num_aux_samples=num_aux_samples, initial_step=initial_step,
+                rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
+                if_downsample=if_downsample, test_range=test_range,
+            )
+            train_w, test_w = ds.primary_train, ds.primary_test
+            aux_row_map = ds.aux_row_map
+        else:
+            d = load_ns_baseline(
+                base_path, train_subsample=train_subsample[0],
+                initial_step=initial_step, rollout_test=rollout_test,
+                sim_name=sim_name, test_range=test_range,
+            )
+            train_w, test_w, ds = d.train, d.test, d
+    else:
+        from sciml_pde_tpu.data.dr import load_dr_aux, load_dr_baseline
+
+        if if_aux:
+            ds = load_dr_aux(
+                base_path, aux_path, train_subsample=tuple(train_subsample),
+                num_aux_samples=num_aux_samples, initial_step=initial_step,
+                rollout_test=rollout_test, if_downsample=if_downsample,
+            )
+            train_w, test_w = ds.primary_train, ds.primary_test
+        else:
+            d = load_dr_baseline(
+                base_path, train_subsample=train_subsample[0],
+                initial_step=initial_step, rollout_test=rollout_test,
+            )
+            train_w, test_w, ds = d.train, d.test, d
+
+    kwargs = dict(
+        img_size=img_size, patch_size=patch_size, tubelet_size=tubelet_size,
+        in_chans=in_chans, num_frames=initial_step,
+        encoder_dim=encoder_embed_dim, encoder_depth=encoder_depth,
+        encoder_heads=encoder_num_heads, decoder_dim=decoder_embed_dim,
+        decoder_depth=decoder_depth, decoder_heads=decoder_num_heads,
+        drop_path_rate=drop_path_rate, use_checkpoint=use_checkpoint,
+        dtype=jnp.bfloat16 if bf16 else jnp.float32,
+    )
+    model = VideoMAEOperatorAux(**kwargs) if if_aux else VideoMAEOperator(**kwargs)
+
+    train_idx = train_w.window_index()
+    test_idx = test_w.window_index()
+    steps_per_epoch = max(len(train_idx) // batch_size, 1)
+    total_steps = epochs * steps_per_epoch // max(grad_accum, 1)
+
+    tx = make_transformer_optimizer(
+        learning_rate_share, learning_rate_heads, total_steps, scheduler,
+        clip=clip, warmup_steps=warmup_steps, grad_accum=grad_accum,
+    )
+
+    x0, _ = gather_windows(train_w.data, jnp.asarray(train_idx[:1]), initial_step, 1)
+    x0 = _to_tf_layout(x0)
+    key = jax.random.PRNGKey(seed)
+    if if_aux:
+        params = model.init(key, x0, x0)["params"]
+        step_fn, val_fn = build_transformer_aux_step(
+            model, tx, initial_step, num_aux_samples, auxiliary_weight, aux_row_map
+        )
+    else:
+        params = model.init(key, x0)["params"]
+        step_fn, val_fn = build_transformer_baseline_step(model, tx, initial_step)
+
+    opt_state = tx.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    ckpt_path = Path(run_dir) / f"{model_name}_ckpt"
+    best_val = float(np.inf)
+    history: list[dict] = []
+    gstep = 0
+    for ep in range(epochs):
+        tr_sum, nb = 0.0, 0
+        for batch in epoch_batches(train_idx, batch_size, rng):
+            bidx = shard_batch(batch, mesh)
+            if if_aux:
+                params, opt_state, (loss, lp, la), g_norm = step_fn(
+                    params, opt_state, train_w.data, ds.aux_train.data, bidx
+                )
+            else:
+                params, opt_state, loss, g_norm = step_fn(
+                    params, opt_state, train_w.data, bidx
+                )
+            gstep += 1
+            tr_sum += float(loss)
+            nb += 1
+            if gstep % log_every == 0:
+                logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
+
+        if ep % model_update == 0:
+            val_sum, vb = 0.0, 0
+            for b in range(0, len(test_idx), batch_size):
+                chunk = jnp.asarray(test_idx[b : b + batch_size])
+                if if_aux:
+                    v = val_fn(params, test_w.data, chunk)
+                else:
+                    v = val_fn(params, test_w.data, chunk)
+                val_sum += float(v)
+                vb += 1
+            val_loss = val_sum / max(vb, 1)
+            history.append({"epoch": ep, "train_loss": tr_sum / max(nb, 1), "val_loss": val_loss})
+            logger.log(gstep, epoch=ep, val_loss=val_loss)
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(ckpt_path, params, opt_state, ep, best_val)
+
+    return TransformerTrainResult(params=params, best_val=best_val, history=history)

@@ -1,0 +1,78 @@
+"""Transformer trainer e2e on tiny synthetic NS + DR data."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig
+from sciml_pde_tpu.sim.gen_ns_incomp import generate_ns_file, VARIANTS
+from sciml_pde_tpu.train.transformer_train import (
+    run_transformer_training,
+    make_transformer_optimizer,
+    transformer_nrmse,
+)
+
+TINY = dict(
+    grid_size=(16, 16), dt=1e-3, n_steps=16, frame_int=2, n_batch=2,
+    nu=0.01, cg_tol=1e-4, cg_max_iter=100,
+)
+TFK = dict(
+    img_size=16, patch_size=8, tubelet_size=2, in_chans=3,
+    encoder_embed_dim=32, encoder_depth=2, encoder_num_heads=4,
+    decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+    initial_step=4, batch_size=8, epochs=2, bf16=False, log_every=1000,
+)
+
+
+@pytest.fixture(scope="module")
+def ns_folder(tmp_path_factory):
+    folder = tmp_path_factory.mktemp("ns_tf")
+    for i in [0, 250]:
+        generate_ns_file(folder / f"ns_incom_inhom_2d_256-{i}.h5", i, NSIncompConfig(**TINY))
+    aux_cfg = NSIncompConfig(**{**TINY, **VARIANTS["convection"]})
+    for i in range(2):
+        generate_ns_file(folder / f"ns_aux_2d_256-{i}.h5", 100 + i, aux_cfg)
+    generate_ns_file(folder / "ns_aux_2d_256-250.h5", 300, aux_cfg)
+    return folder
+
+
+def test_transformer_nrmse_zero_on_exact():
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+    assert float(transformer_nrmse(y, y)) == 0.0
+
+
+def test_optimizer_grad_accum_state():
+    import jax
+
+    tx = make_transformer_optimizer(1e-3, 1e-3, 100, grad_accum=4)
+    params = {"backbone_w": jnp.ones((3,)), "head_primary": {"k": jnp.ones((2,))}}
+    state = tx.init(params)
+    g = {"backbone_w": jnp.ones((3,)), "head_primary": {"k": jnp.ones((2,))}}
+    # first 3 updates: accumulated, params unchanged by zero updates
+    for i in range(3):
+        upd, state = tx.update(g, state, params)
+        assert all(float(jnp.abs(u).max()) == 0.0 for u in jax.tree_util.tree_leaves(upd))
+    upd, state = tx.update(g, state, params)
+    assert any(float(jnp.abs(u).max()) > 0.0 for u in jax.tree_util.tree_leaves(upd))
+
+
+def test_transformer_aux_training_ns(ns_folder, tmp_path):
+    res = run_transformer_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+        train_subsample=(1, 1, 2), num_aux_samples=2,
+        test_range=(250, 251),
+        run_dir=str(tmp_path), model_name="t_vmae", **TFK,
+    )
+    assert np.isfinite(res.best_val)
+    assert len(res.history) == 2
+
+
+def test_transformer_baseline_with_accum_and_warmup(ns_folder, tmp_path):
+    res = run_transformer_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=False,
+        train_subsample=(1, 1, 2), grad_accum=2, warmup_steps=2, clip=1.0,
+        test_range=(250, 251),
+        run_dir=str(tmp_path), model_name="t_vmae_base", **TFK,
+    )
+    assert np.isfinite(res.best_val)
