@@ -232,6 +232,9 @@ def run_training(
     scheduler_step: int = 100,
     scheduler_gamma: float = 0.5,
     training_type: str = "single",
+    if_training: bool = True,
+    iLow: int = 4,
+    iHigh: int = 12,
     model_update: int = 1,
     seed: int = 16,
     run_dir: str = "runs/fno",
@@ -259,6 +262,14 @@ def run_training(
                 if_downsample=if_downsample, test_range=test_range,
             )
             aux_row_map = ds.aux_row_map
+        elif dataset_family == "ns3d":
+            from sciml_pde_tpu.data.ns3d import load_ns3d_aux
+
+            ds = load_ns3d_aux(
+                base_path, aux_path, train_subsample=tuple(train_subsample),
+                num_aux_samples=num_aux_samples, initial_step=initial_step,
+                rollout_test=rollout_test, test_seeds=range(*test_range),
+            )
         else:
             ds = load_dr_aux(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
@@ -266,10 +277,6 @@ def run_training(
                 rollout_test=rollout_test, if_downsample=if_downsample,
             )
         train_w, test_w = ds.primary_train, ds.primary_test
-        model = FNO2dAux(
-            num_channels=num_channels, modes1=modes, modes2=modes, width=width,
-            initial_step=initial_step,
-        )
     else:
         if dataset_family == "ns":
             from sciml_pde_tpu.data.ns import load_ns_baseline
@@ -279,15 +286,41 @@ def run_training(
                 initial_step=initial_step, rollout_test=rollout_test,
                 sim_name=sim_name, test_range=test_range,
             )
+            train_w, test_w = ds.train, ds.test
+        elif dataset_family == "ns3d":
+            from sciml_pde_tpu.data.ns3d import load_ns3d_aux
+
+            ds = load_ns3d_aux(
+                base_path, aux_path, train_subsample=tuple(train_subsample),
+                num_aux_samples=num_aux_samples, initial_step=initial_step,
+                rollout_test=rollout_test, test_seeds=range(*test_range),
+            )
+            train_w, test_w = ds.primary_train, ds.primary_test
         else:
             ds = load_dr_baseline(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
             )
-        train_w, test_w = ds.train, ds.test
-        model = FNO2d(
-            num_channels=num_channels, modes1=modes, modes2=modes, width=width,
-            initial_step=initial_step,
+            train_w, test_w = ds.train, ds.test
+
+    # pick 2D/3D model by probing sample ndim, as the reference does
+    # (fno/train.py:109-129): trajectory store (N, T, *spatial, C)
+    is_3d = train_w.data.ndim == 6
+    if if_aux:
+        model = (
+            FNO3dAux(num_channels=num_channels, modes1=modes, modes2=modes,
+                     modes3=modes, width=width, initial_step=initial_step)
+            if is_3d
+            else FNO2dAux(num_channels=num_channels, modes1=modes, modes2=modes,
+                          width=width, initial_step=initial_step)
+        )
+    else:
+        model = (
+            FNO3d(num_channels=num_channels, modes1=modes, modes2=modes,
+                  modes3=modes, width=width, initial_step=initial_step)
+            if is_3d
+            else FNO2d(num_channels=num_channels, modes1=modes, modes2=modes,
+                       width=width, initial_step=initial_step)
         )
 
     train_idx = train_w.window_index()
@@ -328,6 +361,36 @@ def run_training(
     opt_state = replicate(opt_state, mesh)
 
     ckpt_path = Path(run_dir) / f"{model_name}_ckpt"
+
+    if not if_training:
+        # eval path (reference fno/train.py:136-163): restore best ckpt, run
+        # the rollout metric suite, pickle the six errors.
+        import pickle
+
+        from sciml_pde_tpu.eval.rollout import evaluate_rollout
+
+        restored = restore_checkpoint(
+            ckpt_path, {"params": params, "opt_state": opt_state,
+                        "meta": {"epoch": np.asarray(0), "loss": np.asarray(0.0)}}
+        )
+        params = replicate(restored["params"], mesh)
+
+        if if_aux:
+            def apply_fn(p, x, g):
+                out_p, _ = model.apply({"params": p}, x, g, x, g)
+                return out_p
+        else:
+            def apply_fn(p, x, g):
+                return model.apply({"params": p}, x, g)
+
+        errs = evaluate_rollout(
+            apply_fn, test_w, rollout_test=rollout_test, batch_size=batch_size,
+            iLow=iLow, iHigh=iHigh, params=params,
+        )
+        with (Path(run_dir) / f"{model_name}.pickle").open("wb") as pb:
+            pickle.dump(tuple(errs.values()), pb)
+        return FNOTrainResult(params=params, best_val=errs["nRMSE"], history=[errs])
+
     best_val = float(np.inf)
     start_epoch = 0
     if continue_training and ckpt_path.exists():
