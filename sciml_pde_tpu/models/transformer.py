@@ -71,6 +71,7 @@ class Attention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "pallas"  # pallas (fused kernel w/ jnp fallback) | jnp
 
     @nn.compact
     def __call__(self, x):
@@ -87,11 +88,18 @@ class Attention(nn.Module):
             bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
             qkv = qkv + bias.astype(self.dtype)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (b, n, h, hd)
+        # (b, h, n, hd)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, n, self.dim)
+        from sciml_pde_tpu.ops.attention import flash_attention, jnp_attention
+
+        if self.attn_impl == "pallas":
+            out = flash_attention(q, k, v, scale)
+        else:
+            out = jnp_attention(q, k, v, scale)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
         out = nn.Dense(self.dim, kernel_init=xavier, dtype=self.dtype, name="proj")(out)
         return out
 
