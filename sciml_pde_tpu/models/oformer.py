@@ -1,0 +1,355 @@
+"""OFormer (operator transformer) comparison suite.
+
+Capability parity with the third-party baseline vendored by the reference
+(``OFormer Model Comparison/nn_module/``):
+  - ``LinearAttention`` with Galerkin (instance-norm K, V) and Fourier
+    (instance-norm Q, K) normalization schemes and the linear
+    q (k^T v) / n contraction (attention_module.py:155-311);
+  - rotary and 2D-rotary relative position embeddings
+    (attention_module.py:80-115);
+  - ``CrossLinearAttention`` decoder attention (attention_module.py:311+);
+  - ``SpatialTemporalEncoder2D``: Linear embed -> Galerkin transformer with
+    per-layer rotary scales -> Linear to latent (encoder_module.py:1135-1172);
+  - ``PointWiseDecoder2D``: Gaussian Fourier coordinate features -> cross
+    attention -> latent ``propagate`` blocks -> pointwise decode of
+    ``out_steps`` frames, plus latent ``rollout``
+    (decoder_module.py:670-767).
+
+All linear-attention contractions are plain matmuls — already the ideal MXU
+form; the O(n) memory of Galerkin attention needs no custom kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ortho = nn.initializers.orthogonal()
+xavier = nn.initializers.xavier_uniform()
+
+
+# --------------------------------------------------------------------------
+# rotary embeddings
+# --------------------------------------------------------------------------
+
+
+def rotary_freqs(coords: jnp.ndarray, dim: int, min_freq: float = 1 / 64, scale: float = 1.0):
+    """coords (..., n) -> (..., n, dim) rotary phase table."""
+    inv = 1.0 / (10000 ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
+    t = coords * (scale / min_freq)
+    freqs = t[..., None] * jnp.asarray(inv)
+    return jnp.concatenate([freqs, freqs], axis=-1)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x.reshape(x.shape[:-1] + (2, x.shape[-1] // 2)), 2, axis=-2)
+    return jnp.concatenate([-x2, x1], axis=-1).reshape(x.shape[:-1] + (x.shape[-1],))
+
+
+def apply_rotary_pos_emb(t, freqs):
+    return t * jnp.cos(freqs) + _rotate_half(t) * jnp.sin(freqs)
+
+
+def apply_2d_rotary_pos_emb(t, fx, fy):
+    d = t.shape[-1]
+    tx, ty = t[..., : d // 2], t[..., d // 2 :]
+    return jnp.concatenate(
+        [apply_rotary_pos_emb(tx, fx), apply_rotary_pos_emb(ty, fy)], axis=-1
+    )
+
+
+def _instance_norm(x, eps=1e-5):
+    """Standardize the last (head) dim per token — matches the reference's
+    affine-free InstanceNorm1d usage (attention_module.py:257-261)."""
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps)
+
+
+# --------------------------------------------------------------------------
+# attention
+# --------------------------------------------------------------------------
+
+
+class LinearAttention(nn.Module):
+    dim: int
+    attn_type: str = "galerkin"  # galerkin | fourier
+    heads: int = 8
+    dim_head: int = 64
+    relative_emb: bool = True
+    scale: float = 1.0
+    relative_emb_dim: int = 2
+    min_freq: float = 1 / 64
+
+    @nn.compact
+    def __call__(self, x, pos=None):
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+        qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=ortho, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads_of(t):
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+
+        q, k, v = heads_of(q), heads_of(k), heads_of(v)
+        if self.attn_type == "galerkin":
+            k, v = _instance_norm(k), _instance_norm(v)
+        else:  # fourier
+            q, k = _instance_norm(q), _instance_norm(k)
+
+        if self.relative_emb:
+            if self.relative_emb_dim == 2:
+                fx = rotary_freqs(pos[..., 0], self.dim_head // 2, self.min_freq, self.scale)
+                fy = rotary_freqs(pos[..., 1], self.dim_head // 2, self.min_freq, self.scale)
+                fx, fy = fx[:, None], fy[:, None]
+                q = apply_2d_rotary_pos_emb(q, fx, fy)
+                k = apply_2d_rotary_pos_emb(k, fx, fy)
+            else:
+                f = rotary_freqs(pos[..., 0], self.dim_head, self.min_freq, self.scale)[:, None]
+                q = apply_rotary_pos_emb(q, f)
+                k = apply_rotary_pos_emb(k, f)
+
+        # linear (Galerkin) contraction: q (k^T v) / n
+        dots = jnp.einsum("bhnd,bhne->bhde", k, v)
+        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / n
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return nn.Dense(self.dim, kernel_init=xavier, name="to_out")(out)
+
+
+class CrossLinearAttention(nn.Module):
+    """Queries from x (target points), keys/values from context z."""
+
+    dim: int
+    attn_type: str = "galerkin"
+    heads: int = 8
+    dim_head: int = 64
+    relative_emb: bool = True
+    scale: float = 16.0
+    relative_emb_dim: int = 2
+    min_freq: float = 1 / 64
+
+    @nn.compact
+    def __call__(self, x, z, x_pos=None, z_pos=None):
+        b, n, _ = x.shape
+        m = z.shape[1]
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, use_bias=False, kernel_init=ortho, name="to_q")(x)
+        kv = nn.Dense(inner * 2, use_bias=False, kernel_init=ortho, name="to_kv")(z)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        q = q.reshape(b, n, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        k, v = _instance_norm(k), _instance_norm(v)
+
+        if self.relative_emb and x_pos is not None:
+            fqx = rotary_freqs(x_pos[..., 0], self.dim_head // 2, self.min_freq, self.scale)[:, None]
+            fqy = rotary_freqs(x_pos[..., 1], self.dim_head // 2, self.min_freq, self.scale)[:, None]
+            fkx = rotary_freqs(z_pos[..., 0], self.dim_head // 2, self.min_freq, self.scale)[:, None]
+            fky = rotary_freqs(z_pos[..., 1], self.dim_head // 2, self.min_freq, self.scale)[:, None]
+            q = apply_2d_rotary_pos_emb(q, fqx, fqy)
+            k = apply_2d_rotary_pos_emb(k, fkx, fky)
+
+        dots = jnp.einsum("bhmd,bhme->bhde", k, v)
+        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / m
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
+        return nn.Dense(self.dim, kernel_init=xavier, name="to_out")(out)
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden, kernel_init=xavier, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, kernel_init=xavier, name="fc2")(x)
+
+
+class GalerkinTransformer(nn.Module):
+    """TransformerCatNoCls (encoder_module.py:458-530): depth layers of
+    (LayerNorm -> LinearAttention(+rotary, per-layer scale) -> residual,
+    LayerNorm -> FFN -> residual)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    attn_type: str = "galerkin"
+    scales: Sequence[float] = (32, 16, 16, 1)
+    min_freq: float = 1 / 64
+
+    @nn.compact
+    def __call__(self, x, pos):
+        scales = list(self.scales)
+        assert len(scales) == self.depth
+        for i in range(self.depth):
+            h = nn.LayerNorm(name=f"ln_attn{i}")(x)
+            x = x + LinearAttention(
+                self.dim, self.attn_type, self.heads, self.dim_head,
+                relative_emb=True, scale=float(scales[i]), min_freq=self.min_freq,
+                name=f"attn{i}",
+            )(h, pos)
+            h = nn.LayerNorm(name=f"ln_ffn{i}")(x)
+            x = x + FeedForward(self.dim, self.mlp_dim, name=f"ffn{i}")(h)
+        return x
+
+
+class SpatialTemporalEncoder2D(nn.Module):
+    """encoder_module.py:1135-1172."""
+
+    input_channels: int
+    in_emb_dim: int = 128
+    out_seq_emb_dim: int = 128
+    heads: int = 4
+    depth: int = 4
+
+    @nn.compact
+    def __call__(self, x, input_pos):
+        # x: (b, n, input_channels); input_pos: (b, n, 2)
+        x = nn.Dense(self.in_emb_dim, use_bias=False, kernel_init=xavier, name="to_embedding")(x)
+        scales = [32] + [16] * (self.depth - 2) + [1] if self.depth <= 4 else (
+            [32, 16, 8, 8] + [1] * (self.depth - 4)
+        )
+        x = GalerkinTransformer(
+            self.in_emb_dim, self.depth, self.heads, self.in_emb_dim,
+            self.in_emb_dim, scales=tuple(scales), name="s_transformer",
+        )(x, input_pos)
+        return nn.Dense(
+            self.out_seq_emb_dim, use_bias=False, kernel_init=xavier, name="project_to_latent"
+        )(x)
+
+
+class GaussianFourierFeatureTransform(nn.Module):
+    """Random Fourier features of coordinates (decoder_module.py:201)."""
+
+    mapping_size: int
+    scale: float = 8.0
+
+    @nn.compact
+    def __call__(self, pos):
+        b_mat = self.param(
+            "B",
+            lambda key, shape: jax.random.normal(key, shape) * self.scale,
+            (pos.shape[-1], self.mapping_size),
+        )
+        proj = 2 * jnp.pi * pos @ jax.lax.stop_gradient(b_mat)
+        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+
+
+class PointWiseDecoder2D(nn.Module):
+    """decoder_module.py:670-767."""
+
+    latent_channels: int = 128
+    out_channels: int = 2
+    out_steps: int = 1
+    propagator_depth: int = 2
+    scale: float = 8.0
+
+    def setup(self):
+        lc = self.latent_channels
+        self.coord_ff = GaussianFourierFeatureTransform(lc // 2, self.scale)
+        self.coord_fc1 = nn.Dense(lc, use_bias=False, kernel_init=xavier)
+        self.coord_fc2 = nn.Dense(lc // 2, use_bias=False, kernel_init=xavier)
+        self.decoding_transformer = CrossLinearAttention(
+            lc // 2, "galerkin", heads=4, dim_head=lc // 2, scale=16.0
+        )
+        self.expand_feat = nn.Dense(lc, kernel_init=xavier)
+        self.prop_ln = [nn.LayerNorm() for _ in range(self.propagator_depth)]
+        self.prop_mlp = [
+            [
+                nn.Dense(lc, use_bias=False, kernel_init=xavier),
+                nn.Dense(lc, use_bias=False, kernel_init=xavier),
+                nn.Dense(lc, use_bias=False, kernel_init=xavier),
+            ]
+            for _ in range(self.propagator_depth)
+        ]
+        self.out_ln = nn.LayerNorm()
+        self.out_fc1 = nn.Dense(lc // 2, use_bias=False, kernel_init=xavier)
+        self.out_fc2 = nn.Dense(lc // 2, use_bias=False, kernel_init=xavier)
+        self.out_fc3 = nn.Dense(self.out_channels * self.out_steps, kernel_init=xavier)
+
+    def get_embedding(self, z, propagate_pos, input_pos):
+        x = self.coord_ff(propagate_pos)
+        x = self.coord_fc1(x)
+        x = nn.gelu(x, approximate=False)
+        x = self.coord_fc2(x)
+        z = self.decoding_transformer(x, z, propagate_pos, input_pos)
+        return self.expand_feat(z)
+
+    def propagate(self, z, pos):
+        for ln, (fc1, fc2, fc3) in zip(self.prop_ln, self.prop_mlp):
+            h = jnp.concatenate([ln(z), pos], axis=-1)
+            h = nn.gelu(fc1(h), approximate=False)
+            h = nn.gelu(fc2(h), approximate=False)
+            z = fc3(h) + z
+        return z
+
+    def decode(self, z):
+        h = self.out_ln(z)
+        h = nn.gelu(self.out_fc1(h), approximate=False)
+        h = nn.gelu(self.out_fc2(h), approximate=False)
+        return self.out_fc3(h)
+
+    def __call__(self, z, propagate_pos, input_pos):
+        """One decode step: latent z (b, m, c) -> u (b, n, out_steps*C)."""
+        z = self.get_embedding(z, propagate_pos, input_pos)
+        z = self.propagate(z, propagate_pos)
+        return self.decode(z), z
+
+    def rollout(self, z, propagate_pos, forward_steps, input_pos):
+        """Latent-space rollout (decoder_module.py:749-767): propagate the
+        latent ``forward_steps // out_steps`` times, decoding each chunk."""
+        z = self.get_embedding(z, propagate_pos, input_pos)
+
+        def body(zc, _):
+            zc = self.propagate(zc, propagate_pos)
+            return zc, self.decode(zc)
+
+        _, frames = jax.lax.scan(body, z, None, length=forward_steps // self.out_steps)
+        # frames: (steps, b, n, out_steps*C) -> (b, n, steps*out_steps*C)
+        frames = jnp.moveaxis(frames, 0, 2)
+        b, n = frames.shape[0], frames.shape[1]
+        return frames.reshape(b, n, -1)
+
+
+class OFormer2D(nn.Module):
+    """Encoder + pointwise decoder, one next-step prediction on a grid.
+
+    __call__(x (B, N, C_in), pos (B, N, 2)) -> (B, N, out_channels*out_steps)
+    """
+
+    input_channels: int
+    out_channels: int
+    in_emb_dim: int = 128
+    latent_channels: int = 128
+    heads: int = 4
+    depth: int = 4
+    out_steps: int = 1
+    propagator_depth: int = 2
+
+    def setup(self):
+        self.encoder = SpatialTemporalEncoder2D(
+            self.input_channels, self.in_emb_dim, self.latent_channels,
+            self.heads, self.depth,
+        )
+        self.decoder = PointWiseDecoder2D(
+            self.latent_channels, self.out_channels, self.out_steps,
+            self.propagator_depth,
+        )
+
+    def __call__(self, x, pos):
+        z = self.encoder(x, pos)
+        u, _ = self.decoder(z, pos, pos)
+        return u
+
+    def rollout(self, x, pos, forward_steps):
+        z = self.encoder(x, pos)
+        return self.decoder.rollout(z, pos, forward_steps, pos)
