@@ -1,0 +1,67 @@
+"""Figure generators, sweep runner, rollout study."""
+
+import json
+
+import numpy as np
+import pytest
+
+from sciml_pde_tpu.plots.figures import (
+    rollout_figure,
+    motivation_figure,
+    field_panels,
+    data_efficiency_figure,
+)
+from sciml_pde_tpu.plots.paper_tables import ROLLOUT_NRMSE
+from sciml_pde_tpu.sim.diff_react import DiffReactConfig
+from sciml_pde_tpu.sim.gen_diff_react import generate_dataset
+
+
+def test_paper_tables_shapes():
+    for task, models in ROLLOUT_NRMSE.items():
+        for model, tab in models.items():
+            assert len(tab["baseline"]) == 5 and len(tab["aux"]) == 5
+            # the paper's aux model always improves at step 1
+            assert tab["aux"][0] < tab["baseline"][0]
+
+
+def test_figures_render(tmp_path):
+    rng = np.random.default_rng(0)
+    assert rollout_figure(tmp_path / "r.png", "2D_NS", "FNO", ours=[0.02, 0.03]).exists()
+    assert motivation_figure(tmp_path / "m.png").exists()
+    pred = rng.normal(size=(16, 16, 2)).astype(np.float32)
+    assert field_panels(tmp_path / "f.png", pred, pred * 1.1).exists()
+    pred3 = rng.normal(size=(8, 8, 6, 2)).astype(np.float32)
+    assert field_panels(tmp_path / "f3.png", pred3, pred3).exists()
+    assert data_efficiency_figure(
+        tmp_path / "d.png",
+        {"ours": [0.04, 0.03, 0.02], "seeded": [[0.05, 0.06], [0.04, 0.05], [0.03, 0.04]]},
+    ).exists()
+
+
+def test_sweep_runner(tmp_path):
+    folder = tmp_path / "data"
+    folder.mkdir()
+    small = dict(xdim=12, ydim=12, t=1.0, tdim=9)
+    generate_dataset(folder / "2D_diff-react_test_all.h5", 6,
+                     DiffReactConfig(sim_type="all", **small), verbose=False)
+    generate_dataset(folder / "2D_diff-react_test_diff.h5", 12,
+                     DiffReactConfig(sim_type="diff", **small), verbose=False)
+
+    from sciml_pde_tpu.sweep import run_sweep
+
+    out = tmp_path / "sweep.json"
+    results = run_sweep(
+        "config_dr", ["basic_ds2"], seeds=[16, 99], variant="aux",
+        overrides=[
+            f"base_path={folder}/", f"aux_path={folder}/",
+            f"run_dir={tmp_path}/runs", "epochs=1", "width=8", "modes=3",
+            "initial_step=4", "batch_size=8", "log_every=1000",
+        ],
+        out_path=str(out),
+    )
+    assert len(results) == 2
+    assert out.exists()
+    data = json.loads(out.read_text())
+    assert all(np.isfinite(r["best_val"]) for r in data)
+    # different seeds give different training orders but both finite
+    assert data[0]["seed"] == 16 and data[1]["seed"] == 99
