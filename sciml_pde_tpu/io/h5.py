@@ -24,15 +24,29 @@ def write_seed_group(
     y: np.ndarray,
     t: np.ndarray,
     config_yaml: str = "",
+    max_retries: int = 50,
 ) -> None:
+    """Append one seed group; OSError-retry loop for concurrent writers
+    (reference gen_diff_react.py:53-90)."""
+    import time
+
     seed_str = str(seed).zfill(4)
-    with h5py.File(path, "a") as f:
-        f.create_dataset(f"{seed_str}/data", data=data, dtype="float32", compression="lzf")
-        f.create_dataset(f"{seed_str}/grid/x", data=x, dtype="float32", compression="lzf")
-        f.create_dataset(f"{seed_str}/grid/y", data=y, dtype="float32", compression="lzf")
-        f.create_dataset(f"{seed_str}/grid/t", data=t, dtype="float32", compression="lzf")
-        if config_yaml:
-            f[seed_str].attrs["config"] = config_yaml
+    for attempt in range(max_retries):
+        try:
+            with h5py.File(path, "a") as f:
+                f.create_dataset(
+                    f"{seed_str}/data", data=data, dtype="float32", compression="lzf"
+                )
+                f.create_dataset(f"{seed_str}/grid/x", data=x, dtype="float32", compression="lzf")
+                f.create_dataset(f"{seed_str}/grid/y", data=y, dtype="float32", compression="lzf")
+                f.create_dataset(f"{seed_str}/grid/t", data=t, dtype="float32", compression="lzf")
+                if config_yaml:
+                    f[seed_str].attrs["config"] = config_yaml
+            return
+        except OSError:
+            if attempt == max_retries - 1:
+                raise
+            time.sleep(0.1)
 
 
 def list_seed_groups(path: str | Path) -> list[str]:

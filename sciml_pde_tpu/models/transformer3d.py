@@ -122,6 +122,21 @@ class VideoMAEOperator3D(nn.Module):
         return vol[:, -1]  # (B, X, Y, Z, C)
 
 
+class Transformer3DBaseline(nn.Module):
+    """Single-stream wrapper with the FNO call signature
+    (reference Transformer_3D_NS/Baseline): (x (B,X,Y,Z,T,C), grid) ->
+    (B,X,Y,Z,1,C); grid unused."""
+
+    core_kwargs: dict
+
+    @nn.compact
+    def __call__(self, x, grid):
+        del grid
+        core = VideoMAEOperator3D(**self.core_kwargs, name="vit_core")
+        out = core(jnp.moveaxis(x, -2, 1))
+        return out[..., None, :]
+
+
 class Transformer3DAux(nn.Module):
     """FNO-aux-signature wrapper (reference transformer_3d_aux.py:486-524).
 

@@ -66,10 +66,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree of host arrays with axis 0 sharded over 'data'."""
+    """Device-put a pytree of host arrays with axis 0 sharded over 'data'.
+
+    Falls back to replication when the batch does not divide the data axis
+    (tiny debug batches on a large mesh) — correctness is unchanged, only
+    the sharding differs.
+    """
+    n = mesh.shape[AXES.data]
 
     def _put(x):
         x = np.asarray(x)
+        if x.shape[0] % n != 0:
+            return jax.device_put(x, replicated_sharding(mesh))
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     return jax.tree_util.tree_map(_put, batch)

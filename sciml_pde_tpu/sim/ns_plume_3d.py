@@ -44,6 +44,12 @@ class Plume3DConfig:
     cg_max_iter: int = 400
     out_res: tuple[int, int, int] = (50, 50, 89)
     out_frames: int = 150
+    # decomposition / variant knobs (reference run_3D_NS.py target dirs
+    # encode decomp/downsample/OOD dataset variants)
+    enable_advection: bool = True
+    enable_diffusion: bool = True
+    enable_buoyancy: bool = True
+    enable_projection: bool = True
 
 
 # --------------------------------------------------------------------------
@@ -291,17 +297,21 @@ def simulate_plume(seed_key, cfg: Plume3DConfig):
     def substep(carry, _):
         u, v, w, smoke, pressure = carry
         smoke = maccormack_smoke(smoke, u, v, w, dtc) + inflow
-        u, v, w = advect_velocity3(u, v, w, dtc)
-        u = diffuse3(u, visc_coef, zero_axes=(0,))
-        v = diffuse3(v, visc_coef, zero_axes=(1,))
-        w = diffuse3(w, visc_coef, zero_axes=(2,))
-        # buoyancy: smoke resampled to faces, added without dt factor
-        # (reference :42-43 adds the force field directly each substep)
-        u = u + _center_to_face(smoke, 0) * f_vec[0]
-        v = v + _center_to_face(smoke, 1) * f_vec[1]
-        w = w + _center_to_face(smoke, 2) * f_vec[2]
+        if cfg.enable_advection:
+            u, v, w = advect_velocity3(u, v, w, dtc)
+        if cfg.enable_diffusion:
+            u = diffuse3(u, visc_coef, zero_axes=(0,))
+            v = diffuse3(v, visc_coef, zero_axes=(1,))
+            w = diffuse3(w, visc_coef, zero_axes=(2,))
+        if cfg.enable_buoyancy:
+            # buoyancy: smoke resampled to faces, added without dt factor
+            # (reference :42-43 adds the force field directly each substep)
+            u = u + _center_to_face(smoke, 0) * f_vec[0]
+            v = v + _center_to_face(smoke, 1) * f_vec[1]
+            w = w + _center_to_face(smoke, 2) * f_vec[2]
         u, v, w = _wall_bc3(u, v, w)
-        u, v, w, pressure = project3(u, v, w, d, cfg.cg_tol, cfg.cg_max_iter, pressure)
+        if cfg.enable_projection:
+            u, v, w, pressure = project3(u, v, w, d, cfg.cg_tol, cfg.cg_max_iter, pressure)
         return (u, v, w, smoke, pressure), None
 
     def frame(carry, _):
@@ -378,11 +388,27 @@ def main(argv=None):
     p.add_argument("--viscosity", type=float, default=1e-3)
     p.add_argument("--frames", type=int, default=150)
     p.add_argument("--suffix", default="", help="e.g. _interp for primary files")
+    p.add_argument(
+        "--variant", default="full",
+        choices=["full", "convection", "diffusion", "downsample", "ood"],
+        help="decomposed basic forms / downsampled / out-of-distribution "
+             "datasets (reference run_3D_NS.py target-dir variants)",
+    )
     a = p.parse_args(argv)
-    cfg = Plume3DConfig(
+    variant_over = {
+        "full": {},
+        "convection": {"enable_diffusion": False, "enable_buoyancy": False},
+        "diffusion": {"enable_advection": False, "enable_buoyancy": False,
+                      "enable_projection": False},
+        "downsample": {"out_res": tuple(s // 2 for s in a.res)},
+        "ood": {"viscosity": a.viscosity * 10.0, "inflow_radius_frac": 0.15},
+    }[a.variant]
+    kwargs = dict(
         res=tuple(a.res), dt=a.dt, viscosity=a.viscosity, n_frames=a.frames,
         out_res=tuple(a.res), out_frames=a.frames,
     )
+    kwargs.update(variant_over)
+    cfg = Plume3DConfig(**kwargs)
     for s in range(a.seed_start, a.seed_start + a.n_seeds):
         generate_plume_files(a.path, s, cfg, a.suffix)
         print(f"seed {s} done", flush=True)

@@ -214,6 +214,8 @@ def run_training(
     test_range=(250, 275),
     if_aux: bool = False,
     if_downsample: bool = False,
+    model_family: str = "fno",  # fno | transformer3d
+    transformer_kwargs: dict | None = None,
     train_subsample=(900, 900, 900),
     num_aux_samples: int = 3,
     auxiliary_weight: float = 0.7,
@@ -306,7 +308,31 @@ def run_training(
     # pick 2D/3D model by probing sample ndim, as the reference does
     # (fno/train.py:109-129): trajectory store (N, T, *spatial, C)
     is_3d = train_w.data.ndim == 6
-    if if_aux:
+    if model_family == "transformer3d":
+        # 3D VideoMAE wrappers share the FNO call signature, so the same
+        # jitted aux/baseline steps drive them (reference
+        # Transformer_3D_NS trainers mirror the FNO-aux pipeline).
+        from sciml_pde_tpu.models.transformer3d import (
+            Transformer3DAux,
+            Transformer3DBaseline,
+        )
+
+        spatial = tuple(train_w.data.shape[2:5])
+        core = dict(
+            img_size=spatial,
+            patch_size=tuple(transformer_kwargs.get("patch_size", (10, 10, 9)))
+            if transformer_kwargs else (10, 10, 9),
+            tubelet_size=(transformer_kwargs or {}).get("tubelet_size", 5),
+            in_chans=num_channels,
+            num_frames=initial_step,
+        )
+        for k in ("encoder_dim", "encoder_depth", "encoder_heads",
+                  "decoder_dim", "decoder_depth", "decoder_heads",
+                  "drop_path_rate", "use_checkpoint"):
+            if transformer_kwargs and k in transformer_kwargs:
+                core[k] = transformer_kwargs[k]
+        model = Transformer3DAux(core_kwargs=core) if if_aux else Transformer3DBaseline(core_kwargs=core)
+    elif if_aux:
         model = (
             FNO3dAux(num_channels=num_channels, modes1=modes, modes2=modes,
                      modes3=modes, width=width, initial_step=initial_step)

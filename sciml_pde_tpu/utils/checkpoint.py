@@ -37,3 +37,27 @@ def restore_checkpoint(path: str | Path, like: dict[str, Any]) -> dict[str, Any]
     with ocp.StandardCheckpointer() as ckptr:
         template = jax.tree_util.tree_map(np.asarray, like)
         return ckptr.restore(path, template)
+
+
+def load_partial_params(params: dict, pretrained: dict, verbose: bool = True) -> dict:
+    """Overlay pretrained weights where the path exists AND the shape
+    matches; keep fresh init elsewhere — the reference's VideoMAE
+    pretrained-weight partial loading with key filtering
+    (Transformer_2D_NS/Ours/transformer.py:62-88)."""
+    flat_p = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_q = dict(jax.tree_util.tree_flatten_with_path(pretrained)[0])
+    out = {}
+    loaded, skipped = 0, 0
+    for path, leaf in flat_p.items():
+        cand = flat_q.get(path)
+        if cand is not None and np.shape(cand) == np.shape(leaf):
+            out[path] = cand
+            loaded += 1
+        else:
+            out[path] = leaf
+            skipped += 1
+    if verbose:
+        print(f"load_partial_params: {loaded} loaded, {skipped} kept fresh")
+    treedef = jax.tree_util.tree_structure(params)
+    ordered = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    return jax.tree_util.tree_unflatten(treedef, ordered)
