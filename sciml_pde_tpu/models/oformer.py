@@ -185,6 +185,7 @@ class GalerkinTransformer(nn.Module):
     attn_type: str = "galerkin"
     scales: Sequence[float] = (32, 16, 16, 1)
     min_freq: float = 1 / 64
+    relative_emb_dim: int = 2
 
     @nn.compact
     def __call__(self, x, pos):
@@ -195,6 +196,7 @@ class GalerkinTransformer(nn.Module):
             x = x + LinearAttention(
                 self.dim, self.attn_type, self.heads, self.dim_head,
                 relative_emb=True, scale=float(scales[i]), min_freq=self.min_freq,
+                relative_emb_dim=self.relative_emb_dim,
                 name=f"attn{i}",
             )(h, pos)
             h = nn.LayerNorm(name=f"ln_ffn{i}")(x)
@@ -353,3 +355,41 @@ class OFormer2D(nn.Module):
     def rollout(self, x, pos, forward_steps):
         z = self.encoder(x, pos)
         return self.decoder.rollout(z, pos, forward_steps, pos)
+
+
+class OFormer1D(nn.Module):
+    """1D variant for Burgers / Darcy-style problems (the vendored suite's
+    ``train_burgers.py``/``train_darcy.py`` models use the same encoder and
+    a pointwise decoder with 1D rotary embeddings).
+
+    __call__(x (B, N, C_in), pos (B, N, 1)) -> (B, N, out_channels*out_steps)
+    """
+
+    input_channels: int
+    out_channels: int
+    in_emb_dim: int = 96
+    latent_channels: int = 96
+    heads: int = 4
+    depth: int = 4
+    out_steps: int = 1
+
+    @nn.compact
+    def __call__(self, x, pos):
+        h = nn.Dense(self.in_emb_dim, use_bias=False, kernel_init=xavier,
+                     name="to_embedding")(x)
+        scales = [32] + [16] * (self.depth - 2) + [1]
+        h = GalerkinTransformer(
+            self.in_emb_dim, self.depth, self.heads, self.in_emb_dim,
+            self.in_emb_dim, scales=tuple(scales), relative_emb_dim=1,
+            name="s_transformer",
+        )(h, pos)
+        z = nn.Dense(self.latent_channels, use_bias=False, kernel_init=xavier,
+                     name="project_to_latent")(h)
+        z = nn.LayerNorm(name="out_ln")(z)
+        z = nn.gelu(
+            nn.Dense(self.latent_channels, use_bias=False, kernel_init=xavier,
+                     name="out_fc1")(z),
+            approximate=False,
+        )
+        return nn.Dense(self.out_channels * self.out_steps, kernel_init=xavier,
+                        name="out_fc2")(z)

@@ -24,10 +24,29 @@ TPU-first design notes:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Matmul precision of the DFT/mode einsums.  HIGHEST = exact f32 (6-pass
+# bf16 on TPU); HIGH = bf16_3x (~f32 accuracy at half the MXU passes).
+# Configurable for perf studies: SCIML_DFT_PRECISION={highest,high,default}.
+_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[os.environ.get("SCIML_DFT_PRECISION", "highest").lower()]
+
+
+def set_dft_precision(name: str) -> None:
+    global _PRECISION
+    _PRECISION = {
+        "highest": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name.lower()]
 
 
 def _as_complex(w: jnp.ndarray) -> jnp.ndarray:
@@ -125,7 +144,7 @@ def spectral_conv_2d(
         return jnp.fft.irfft2(out_ft, s=(h, w), axes=(1, 2))
 
     # ---- partial-DFT (MXU matmul) path, pure-real arithmetic -------------
-    prec = jax.lax.Precision.HIGHEST
+    prec = _PRECISION
     (fwr, fwi), (iwr, iwi) = _dft_factors_1d(w, modes2, None)
     (fhr, fhi), (ihr, ihi) = _dft_factors_1d(h, 2 * modes1, _corner_rows(h, modes1))
 
@@ -183,7 +202,7 @@ def spectral_conv_3d(
         return jnp.fft.irfftn(out_ft, s=(nx, ny, nz), axes=(1, 2, 3))
 
     # ---- partial-DFT (MXU matmul) path, pure-real arithmetic -------------
-    prec = jax.lax.Precision.HIGHEST
+    prec = _PRECISION
     (fzr, fzi), (izr, izi) = _dft_factors_1d(nz, modes3, None)
     (fxr, fxi), (ixr, ixi) = _dft_factors_1d(nx, 2 * modes1, _corner_rows(nx, modes1))
     (fyr, fyi), (iyr, iyi) = _dft_factors_1d(ny, 2 * modes2, _corner_rows(ny, modes2))
