@@ -80,14 +80,26 @@ def evaluate_rollout(
         preds = rollout_predict(fn, x, gb, rollout_test)
         final_pred = preds[..., -1:, :]
         final_tar = y[..., -1:, :]
-        return metric_func(final_pred, final_tar, if_mean=True, iLow=iLow, iHigh=iHigh)
+        # per-unrolled-step RMSE (the reference's val_l2_time / mse_time.npz,
+        # metrics.py:384-389,520-525)
+        sq = (preds - y) ** 2
+        axes = tuple(i for i in range(sq.ndim) if i != sq.ndim - 2)
+        mse_time = jnp.sqrt(jnp.mean(sq, axis=axes))
+        return (
+            metric_func(final_pred, final_tar, if_mean=True, iLow=iLow, iHigh=iHigh),
+            mse_time,
+        )
 
     names = ["RMSE", "nRMSE", "CSV", "Max", "BD", "F"]
     sums = np.zeros(len(names))
+    mse_time_sum = np.zeros(rollout_test)
     nb = 0
     for b in range(0, n, batch_size):
         chunk = idx[b : b + batch_size]  # last chunk may be ragged (one extra compile)
-        vals = batch_metrics(params, jnp.asarray(chunk))
+        vals, mse_time = batch_metrics(params, jnp.asarray(chunk))
         sums += np.array([float(v) for v in vals])
+        mse_time_sum += np.asarray(mse_time)
         nb += 1
-    return {k: v / nb for k, v in zip(names, sums)}
+    out = {k: v / nb for k, v in zip(names, sums)}
+    out["mse_time"] = (mse_time_sum / nb).tolist()
+    return out

@@ -413,8 +413,16 @@ def run_training(
             apply_fn, test_w, rollout_test=rollout_test, batch_size=batch_size,
             iLow=iLow, iHigh=iHigh, params=params,
         )
+        # pickle the six-metric tuple (reference fno/train.py:160-162); the
+        # per-step mse_time goes to its own npz (metrics.py:520-525)
+        six = tuple(errs[k] for k in ["RMSE", "nRMSE", "CSV", "Max", "BD", "F"])
         with (Path(run_dir) / f"{model_name}.pickle").open("wb") as pb:
-            pickle.dump(tuple(errs.values()), pb)
+            pickle.dump(six, pb)
+        np.savez(
+            Path(run_dir) / f"{model_name}_mse_time.npz",
+            t=np.arange(initial_step, initial_step + rollout_test),
+            mse=np.asarray(errs["mse_time"]),
+        )
         return FNOTrainResult(params=params, best_val=errs["nRMSE"], history=[errs])
 
     best_val = float(np.inf)

@@ -215,6 +215,8 @@ def run_transformer_training(
     seed: int = 16,
     run_dir: str = "runs/transformer",
     model_name: str = "vmae_ns",
+    continue_training: bool = False,
+    pretrained_path: str | None = None,
     log_every: int = 50,
 ) -> TransformerTrainResult:
     mesh = make_mesh()
@@ -292,14 +294,41 @@ def run_transformer_training(
         step_fn, val_fn = build_transformer_baseline_step(model, tx, initial_step)
 
     opt_state = tx.init(params)
+
+    if pretrained_path:
+        # partial load of (e.g. masked-SSL) pretrained weights, key-filtered
+        # (reference transformer.py:62-88)
+        from sciml_pde_tpu.utils.checkpoint import load_partial_params, restore_checkpoint
+
+        restored = restore_checkpoint(
+            pretrained_path,
+            {"params": params, "opt_state": opt_state,
+             "meta": {"epoch": np.asarray(0), "loss": np.asarray(0.0)}},
+        )
+        params = load_partial_params(params, restored["params"])
+
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
 
     ckpt_path = Path(run_dir) / f"{model_name}_ckpt"
     best_val = float(np.inf)
+    start_epoch = 0
+    if continue_training and ckpt_path.exists():
+        from sciml_pde_tpu.utils.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(
+            ckpt_path,
+            {"params": params, "opt_state": opt_state,
+             "meta": {"epoch": np.asarray(0), "loss": np.asarray(0.0)}},
+        )
+        params = replicate(restored["params"], mesh)
+        opt_state = replicate(restored["opt_state"], mesh)
+        start_epoch = int(restored["meta"]["epoch"])
+        best_val = float(restored["meta"]["loss"])
+
     history: list[dict] = []
     gstep = 0
-    for ep in range(epochs):
+    for ep in range(start_epoch, epochs):
         tr_sum, nb = 0.0, 0
         for batch in epoch_batches(train_idx, batch_size, rng):
             bidx = shard_batch(batch, mesh)

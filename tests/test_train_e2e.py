@@ -111,6 +111,7 @@ def test_aux_training_learns_and_evaluates(dr_data, tmp_path):
         return p
 
     m = evaluate_rollout(apply_fn, ds.primary_test, rollout_test=2, batch_size=4, iLow=2, iHigh=6)
-    assert set(m) == {"RMSE", "nRMSE", "CSV", "Max", "BD", "F"}
-    assert all(np.isfinite(v) for v in m.values())
+    assert {"RMSE", "nRMSE", "CSV", "Max", "BD", "F", "mse_time"} <= set(m)
+    assert len(m["mse_time"]) == 2
+    assert all(np.isfinite(v) for k, v in m.items() if k != "mse_time")
     assert m["nRMSE"] < 2.0
