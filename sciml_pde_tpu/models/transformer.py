@@ -269,19 +269,29 @@ class VideoMAEOperator(nn.Module):
         tokens = self.decoder(tokens, deterministic)
         return self.head(self.decoder_norm(tokens)).astype(jnp.float32)
 
-    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+    def __call__(
+        self,
+        x,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        n_masked: Optional[int] = None,
+    ):
         b, t, h, w, c = x.shape
         std, mean = instance_norm_stats(x, (1, 2, 3))  # per (b, c) over T,H,W
         xn = (x - mean) / std
 
         if mask is not None:
             # masked-SSL: encode visible tokens, decode vis+mask, predict
-            # masked pixels (reference transformer.py:530-575)
+            # masked pixels (reference transformer.py:530-575).  The masked
+            # count must be static (shapes under jit); pass n_masked, or
+            # give a concrete (non-traced) mask.
             tokens_all = self.patch_proj(patchify(xn, self.tubelet_size, self.patch_size))
             pos_e = jnp.asarray(sinusoid_table(tokens_all.shape[1], self.encoder_dim))
             tokens_all = tokens_all + pos_e[None]
             n = tokens_all.shape[1]
-            n_vis = n - int(mask.sum() // b)
+            if n_masked is None:
+                n_masked = int(np.asarray(mask).sum() // b)
+            n_vis = n - n_masked
             vis_idx = jnp.argsort(mask, axis=1, stable=True)[:, :n_vis]
             mask_idx = jnp.argsort(mask, axis=1, stable=True)[:, n_vis:]
             vis = jnp.take_along_axis(tokens_all, vis_idx[..., None], axis=1)
@@ -292,7 +302,6 @@ class VideoMAEOperator(nn.Module):
             pos_msk = jnp.take_along_axis(pos_d, mask_idx[..., None], axis=1)
             full = jnp.concatenate([vis + pos_vis, self.mask_token + pos_msk], axis=1)
             dec = self.decoder(full, deterministic)
-            n_masked = n - n_vis
             out = self.head_ssl(self.decoder_norm(dec[:, -n_masked:])).astype(jnp.float32)
             return out  # normalized-space masked-pixel predictions
 
