@@ -237,6 +237,8 @@ def run_training(
     if_training: bool = True,
     iLow: int = 4,
     iHigh: int = 12,
+    plot: bool = False,
+    channel_plot: int = 0,
     model_update: int = 1,
     seed: int = 16,
     run_dir: str = "runs/fno",
@@ -423,6 +425,23 @@ def run_training(
             t=np.arange(initial_step, initial_step + rollout_test),
             mse=np.asarray(errs["mse_time"]),
         )
+        if plot:
+            # prediction/target field render of the first test window
+            # (reference metrics.py:461-508)
+            from sciml_pde_tpu.eval.rollout import rollout_predict
+            from sciml_pde_tpu.plots.figures import field_panels
+
+            idx0 = jnp.asarray(test_w.window_index()[:1])
+            x0p, y0p = gather_windows(test_w.data, idx0, initial_step, rollout_test)
+            g0p = _broadcast_grid(test_w.grid, 1)
+            preds = rollout_predict(lambda a, b: apply_fn(params, a, b), x0p, g0p, rollout_test)
+            field_panels(
+                Path(run_dir) / f"{model_name}_pred.png",
+                np.asarray(preds[0, ..., -1, :]),
+                np.asarray(y0p[0, ..., -1, :]),
+                channel=channel_plot,
+                title=model_name,
+            )
         return FNOTrainResult(params=params, best_val=errs["nRMSE"], history=[errs])
 
     best_val = float(np.inf)
