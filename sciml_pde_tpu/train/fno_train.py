@@ -459,7 +459,9 @@ def run_training(
     history: list[dict] = []
     gstep = 0
     for ep in range(start_epoch, epochs):
-        train_loss_sum, nb = 0.0, 0
+        # keep losses on device during the epoch: a float() per step would
+        # block dispatch and serialize the pipeline
+        losses = []
         for batch in epoch_batches(train_idx, batch_size, rng):
             bidx = shard_batch(batch, mesh)
             if if_aux:
@@ -472,10 +474,11 @@ def run_training(
                     jax.random.fold_in(key, gstep),
                 )
             gstep += 1
-            train_loss_sum += float(loss)
-            nb += 1
+            losses.append(loss)
             if gstep % log_every == 0:
                 logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
+        nb = len(losses)
+        train_loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
         if ep % model_update == 0:
             val_sum = 0.0
