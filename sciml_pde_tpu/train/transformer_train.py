@@ -329,7 +329,7 @@ def run_transformer_training(
     history: list[dict] = []
     gstep = 0
     for ep in range(start_epoch, epochs):
-        tr_sum, nb = 0.0, 0
+        losses = []  # device scalars; syncing per step would stall dispatch
         for batch in epoch_batches(train_idx, batch_size, rng):
             bidx = shard_batch(batch, mesh)
             if if_aux:
@@ -341,10 +341,11 @@ def run_transformer_training(
                     params, opt_state, train_w.data, bidx
                 )
             gstep += 1
-            tr_sum += float(loss)
-            nb += 1
+            losses.append(loss)
             if gstep % log_every == 0:
                 logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
+        nb = len(losses)
+        tr_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
 
         if ep % model_update == 0:
             val_sum, vb = 0.0, 0
