@@ -59,6 +59,7 @@ def run_comparison_training(
     *,
     base_path: str,
     model_type: str = "oformer",  # oformer | hyena
+    dataset_family: str = "dr",  # dr | ns (tune_navier_stokes.py equivalent)
     train_subsample: int = 4,
     initial_step: int = 10,
     num_channels: int = 2,
@@ -69,6 +70,7 @@ def run_comparison_training(
     latent_channels: int = 192,
     heads: int = 4,
     depth: int = 2,
+    test_range=(250, 275),
     run_dir: str = "runs/comparison",
     model_name: str = "oformer_dr",
     log_every: int = 100,
@@ -76,8 +78,15 @@ def run_comparison_training(
 ) -> ComparisonResult:
     rng = np.random.default_rng(seed)
     logger = MetricLogger(run_dir, name=model_name)
-    ds = load_dr_baseline(base_path, train_subsample=train_subsample,
-                          initial_step=initial_step, rollout_test=1)
+    if dataset_family == "ns":
+        from sciml_pde_tpu.data.ns import load_ns_baseline
+
+        ds = load_ns_baseline(base_path, train_subsample=train_subsample,
+                              initial_step=initial_step, rollout_test=1,
+                              test_range=test_range)
+    else:
+        ds = load_dr_baseline(base_path, train_subsample=train_subsample,
+                              initial_step=initial_step, rollout_test=1)
     train_w, test_w = ds.train, ds.test
     cin = initial_step * num_channels + 2  # window + coordinates
 
