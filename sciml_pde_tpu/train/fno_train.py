@@ -125,6 +125,18 @@ def build_baseline_step(
         gb = _broadcast_grid(grid, idx.shape[0])
         return loss_fn(params, x, y, gb)
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_xy(params, opt_state, x, y, grid, key):
+        """Host-streaming variant: windows arrive pre-gathered (data/stream.py)."""
+        x, y = maybe_augment(x, y, key)
+        gb = _broadcast_grid(grid, x.shape[0])
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, g_norm
+
+    step.xy = step_xy
     return step, val_loss
 
 
