@@ -43,8 +43,8 @@ def test_xy_step_trains():
     loader = HostWindowLoader(data, idx, 4, 1, batch_size=6, seed=0)
     losses = []
     key = jax.random.PRNGKey(0)
-    for ep in range(3):
+    for ep in range(15):
         for x, y in loader:
             params, opt_state, loss, _ = step_fn.xy(params, opt_state, x, y, grid, key)
         losses.append(float(loss))
-    assert losses[-1] < losses[0]
+    assert losses[-1] < losses[0] * 0.9
