@@ -38,6 +38,8 @@ VARIANTS = {
     "diffusion": {"enable_advection": False, "enable_force": False,
                   "enable_projection": False},
     "no_pressure": {"enable_projection": False},
+    # out-of-distribution eval variant: different viscosity/forcing regime
+    "ood": {"nu": 0.01, "force_scale": 0.8},
 }
 
 
