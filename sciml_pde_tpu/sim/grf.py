@@ -13,10 +13,16 @@ Two flavours:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
+# NOTE: both samplers are jitted — on some TPU runtimes *eager* complex
+# arithmetic is UNIMPLEMENTED (compiled complex ops are fine), so these must
+# never run op-by-op.
+@functools.partial(jax.jit, static_argnames=("shape", "length_scale"))
 def grf_rbf(key, shape: tuple[int, int], length_scale: float = 0.1) -> jnp.ndarray:
     """RBF-covariance GRF on the unit square via circulant embedding."""
     nx, ny = shape
@@ -29,6 +35,7 @@ def grf_rbf(key, shape: tuple[int, int], length_scale: float = 0.1) -> jnp.ndarr
     return f / (jnp.std(f) + 1e-12)
 
 
+@functools.partial(jax.jit, static_argnames=("shape", "scale", "smoothness"))
 def spectral_noise(
     key,
     shape: tuple[int, ...],

@@ -42,6 +42,7 @@ class Plume3DConfig:
     buoyancy_jitter: float = 1e-4
     cg_tol: float = 1e-3
     cg_max_iter: int = 400
+    pressure_solver: str = "dct"  # dct (direct, exact) | cg
     out_res: tuple[int, int, int] = (50, 50, 89)
     out_frames: int = 150
     # decomposition / variant knobs (reference run_3D_NS.py target dirs
@@ -206,6 +207,31 @@ def _lap_neumann3(p, d):
     return out
 
 
+def solve_pressure_dct3(div, d):
+    """Direct Neumann Poisson solve via three-axis DCT-II diagonalization
+    (see ns_incomp_2d.solve_pressure_dct)."""
+    from sciml_pde_tpu.sim.ns_incomp_2d import _dct2_factors
+
+    nx, ny, nz = div.shape
+    cs = [jnp.asarray(_dct2_factors(n)) for n in (nx, ny, nz)]
+    lams = [
+        (2.0 * np.cos(np.pi * np.arange(n) / n) - 2.0) / dd**2
+        for n, dd in zip((nx, ny, nz), d)
+    ]
+    lam = jnp.asarray(
+        lams[0][:, None, None] + lams[1][None, :, None] + lams[2][None, None, :]
+    )
+    prec = jax.lax.Precision.HIGHEST
+    h = jnp.einsum("ax,xyz->ayz", cs[0], div, precision=prec)
+    h = jnp.einsum("by,ayz->abz", cs[1], h, precision=prec)
+    h = jnp.einsum("cz,abz->abc", cs[2], h, precision=prec)
+    h = jnp.where(lam != 0.0, h / jnp.where(lam != 0.0, lam, 1.0), 0.0)
+    h = jnp.einsum("ax,abc->xbc", cs[0], h, precision=prec)
+    h = jnp.einsum("by,xbc->xyc", cs[1], h, precision=prec)
+    h = jnp.einsum("cz,xyc->xyz", cs[2], h, precision=prec)
+    return h
+
+
 def solve_pressure_cg3(div, d, tol, max_iter, x0=None):
     b = -(div - jnp.mean(div))
     bnorm = jnp.linalg.norm(b) + 1e-30
@@ -239,9 +265,12 @@ def solve_pressure_cg3(div, d, tol, max_iter, x0=None):
     return p_best - jnp.mean(p_best)
 
 
-def project3(u, v, w, d, tol, max_iter, p_prev):
+def project3(u, v, w, d, tol, max_iter, p_prev, method: str = "dct"):
     div = divergence3(u, v, w, d)
-    p = solve_pressure_cg3(div, d, tol, max_iter, x0=p_prev)
+    if method == "dct":
+        p = solve_pressure_dct3(div, d)
+    else:
+        p = solve_pressure_cg3(div, d, tol, max_iter, x0=p_prev)
     u = u.at[1:-1].add(-(p[1:] - p[:-1]) / d[0])
     v = v.at[:, 1:-1].add(-(p[:, 1:] - p[:, :-1]) / d[1])
     w = w.at[:, :, 1:-1].add(-(p[:, :, 1:] - p[:, :, :-1]) / d[2])
@@ -311,7 +340,8 @@ def simulate_plume(seed_key, cfg: Plume3DConfig):
             w = w + _center_to_face(smoke, 2) * f_vec[2]
         u, v, w = _wall_bc3(u, v, w)
         if cfg.enable_projection:
-            u, v, w, pressure = project3(u, v, w, d, cfg.cg_tol, cfg.cg_max_iter, pressure)
+            u, v, w, pressure = project3(u, v, w, d, cfg.cg_tol, cfg.cg_max_iter, pressure,
+                                         method=cfg.pressure_solver)
         return (u, v, w, smoke, pressure), None
 
     def frame(carry, _):

@@ -69,3 +69,26 @@ def test_divergence_free_after_each_frame():
     # centered resample smears the MAC divergence; check it is small relative
     # to the velocity magnitude by re-projecting cost: use last frame energy
     assert float(jnp.abs(vel).max()) < 100.0  # no blow-up
+
+
+def test_dct_solver_matches_cg():
+    from sciml_pde_tpu.sim.ns_incomp_2d import solve_pressure_dct, _lap_neumann
+    nx, ny = 16, 24
+    dx, dy = 1.0 / nx, 1.0 / ny
+    rng = np.random.default_rng(5)
+    div = jnp.asarray(rng.normal(size=(nx, ny)).astype(np.float32))
+    p = solve_pressure_dct(div, dx, dy)
+    lhs = np.asarray(_lap_neumann(p, dx, dy))
+    rhs = np.asarray(div - jnp.mean(div))
+    np.testing.assert_allclose(lhs, rhs, atol=2e-3 * np.abs(rhs).max())
+
+
+def test_dct3_solver_exact():
+    from sciml_pde_tpu.sim.ns_plume_3d import solve_pressure_dct3, _lap_neumann3
+    d = (1 / 8, 1 / 8, 1 / 10)
+    rng = np.random.default_rng(6)
+    div = jnp.asarray(rng.normal(size=(8, 8, 10)).astype(np.float32))
+    p = solve_pressure_dct3(div, d)
+    lhs = np.asarray(_lap_neumann3(p, d))
+    rhs = np.asarray(div - jnp.mean(div))
+    np.testing.assert_allclose(lhs, rhs, atol=2e-3 * np.abs(rhs).max())
