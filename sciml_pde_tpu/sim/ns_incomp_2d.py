@@ -241,9 +241,9 @@ def solve_pressure_dct(div, dx, dy):
     lam_y = (2.0 * np.cos(np.pi * np.arange(ny) / ny) - 2.0) / dy**2
     lam = jnp.asarray(lam_x[:, None] + lam_y[None, :])
     prec = jax.lax.Precision.HIGHEST
-    dhat = jnp.einsum("ab,bc,dc->ad", cx, div, cy, precision=prec)
+    dhat = jnp.einsum("kx,xy,ly->kl", cx, div, cy, precision=prec)
     phat = jnp.where(lam != 0.0, dhat / jnp.where(lam != 0.0, lam, 1.0), 0.0)
-    return jnp.einsum("ba,ad,cd->bc", cx, phat, cy, precision=prec)
+    return jnp.einsum("kx,kl,ly->xy", cx, phat, cy, precision=prec)
 
 
 def solve_pressure_cg(div, dx, dy, tol, max_iter):
