@@ -35,6 +35,9 @@ def main(argv=None):
 
     out = Path(a.out)
     out.mkdir(parents=True, exist_ok=True)
+    # reference hyperparameters (config_transformer_aux_rd.yaml): lr 3e-4,
+    # 5% warmup, aux weight 0.5
+    steps_per_epoch = 8 * 91 // 4
     kw = dict(
         img_size=128, patch_size=16, tubelet_size=1, in_chans=2,
         encoder_embed_dim=a.encoder_dim, encoder_depth=a.encoder_depth,
@@ -42,7 +45,9 @@ def main(argv=None):
         decoder_embed_dim=a.decoder_dim, decoder_depth=a.decoder_depth,
         decoder_num_heads=8,
         initial_step=10, batch_size=4, epochs=a.epochs,
-        learning_rate_share=5e-4, learning_rate_heads=5e-4,
+        learning_rate_share=3e-4, learning_rate_heads=3e-4,
+        warmup_steps=max(int(0.05 * a.epochs * steps_per_epoch), 1),
+        auxiliary_weight=0.5,
     )
     results = {}
     for variant in a.variants:
