@@ -373,13 +373,10 @@ def _resize_align_corners_1d(arr: jnp.ndarray, axis: int, new_len: int) -> jnp.n
     return a * (1 - t) + b * t
 
 
-def resample_outputs(vel, smk, cfg: Plume3DConfig):
-    """Spatial trilinear resample to out_res, drop initial frame, time
-    resample to out_frames — the reference's post-processing (:53-62).
-
-    Returns v_data (X, Y, Z, T, 3) and s_data (T, X, Y, Z), the on-disk
-    layouts of v_trj_seed{i}.h5 / s_trj_seed{i}.h5.
-    """
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _resample_outputs_jit(vel, smk, cfg: Plume3DConfig):
+    # must be jitted: eager gather chains on large arrays can fault this
+    # TPU runtime's worker (same class of issue as eager complex ops)
     for ax, target in zip((1, 2, 3), cfg.out_res):
         vel = _resize_align_corners_1d(vel, ax, target)
         smk = _resize_align_corners_1d(smk, ax, target)
@@ -388,7 +385,18 @@ def resample_outputs(vel, smk, cfg: Plume3DConfig):
     vel = _resize_align_corners_1d(vel, 0, cfg.out_frames)
     smk = _resize_align_corners_1d(smk, 0, cfg.out_frames)
     v_data = jnp.transpose(vel, (1, 2, 3, 0, 4))  # (X, Y, Z, T, 3)
-    return np.asarray(v_data), np.asarray(smk)
+    return v_data, smk
+
+
+def resample_outputs(vel, smk, cfg: Plume3DConfig):
+    """Spatial trilinear resample to out_res, drop initial frame, time
+    resample to out_frames — the reference's post-processing (:53-62).
+
+    Returns v_data (X, Y, Z, T, 3) and s_data (T, X, Y, Z), the on-disk
+    layouts of v_trj_seed{i}.h5 / s_trj_seed{i}.h5.
+    """
+    v_data, s_data = _resample_outputs_jit(vel, smk, cfg)
+    return np.asarray(v_data), np.asarray(s_data)
 
 
 def generate_plume_files(path, seed: int, cfg: Plume3DConfig, suffix: str = ""):
