@@ -302,25 +302,14 @@ def inflow_field(cfg: Plume3DConfig) -> np.ndarray:
     return (cfg.inflow_strength * soft).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def simulate_plume(seed_key, cfg: Plume3DConfig):
-    """Returns velocity (n_frames, nx, ny, nz, 3) centered, smoke
-    (n_frames, nx, ny, nz), both EXCLUDING the initial rest frame."""
+@functools.partial(jax.jit, static_argnames=("cfg", "n_frames"))
+def _simulate_chunk(state, f_vec, inflow, cfg: Plume3DConfig, n_frames: int):
+    """Advance ``n_frames`` stored frames from ``state``; returns the new
+    state and the per-frame centered velocity/smoke."""
+    u, v, w, smoke, pressure = state
     nx, ny, nz = cfg.res
     d = (1.0 / nx, 1.0 / ny, 1.0 / nz)
     dtc = (cfg.dt / d[0], cfg.dt / d[1], cfg.dt / d[2])
-    inflow = jnp.asarray(inflow_field(cfg))
-
-    jit_x, jit_y = jax.random.uniform(
-        seed_key, (2,), minval=-cfg.buoyancy_jitter, maxval=cfg.buoyancy_jitter
-    )
-    f_vec = (jit_x, jit_y, cfg.buoyancy_z)
-
-    u = jnp.zeros((nx + 1, ny, nz))
-    v = jnp.zeros((nx, ny + 1, nz))
-    w = jnp.zeros((nx, ny, nz + 1))
-    smoke = jnp.zeros((nx, ny, nz))
-    pressure = jnp.zeros((nx, ny, nz))
     visc_coef = tuple(cfg.viscosity * cfg.dt / dd**2 for dd in d)
 
     def substep(carry, _):
@@ -333,15 +322,13 @@ def simulate_plume(seed_key, cfg: Plume3DConfig):
             v = diffuse3(v, visc_coef, zero_axes=(1,))
             w = diffuse3(w, visc_coef, zero_axes=(2,))
         if cfg.enable_buoyancy:
-            # buoyancy: smoke resampled to faces, added without dt factor
-            # (reference :42-43 adds the force field directly each substep)
             u = u + _center_to_face(smoke, 0) * f_vec[0]
             v = v + _center_to_face(smoke, 1) * f_vec[1]
             w = w + _center_to_face(smoke, 2) * f_vec[2]
         u, v, w = _wall_bc3(u, v, w)
         if cfg.enable_projection:
-            u, v, w, pressure = project3(u, v, w, d, cfg.cg_tol, cfg.cg_max_iter, pressure,
-                                         method=cfg.pressure_solver)
+            u, v, w, pressure = project3(u, v, w, d, cfg.cg_tol, cfg.cg_max_iter,
+                                         pressure, method=cfg.pressure_solver)
         return (u, v, w, smoke, pressure), None
 
     def frame(carry, _):
@@ -352,10 +339,41 @@ def simulate_plume(seed_key, cfg: Plume3DConfig):
         wc = 0.5 * (w[:, :, 1:] + w[:, :, :-1])
         return carry, (jnp.stack([uc, vc, wc], axis=-1), smoke)
 
-    _, (vel, smk) = jax.lax.scan(
-        frame, (u, v, w, smoke, pressure), None, length=cfg.n_frames
+    carry, (vel, smk) = jax.lax.scan(frame, (u, v, w, smoke, pressure), None,
+                                     length=n_frames)
+    return carry, vel, smk
+
+
+def simulate_plume(seed_key, cfg: Plume3DConfig, chunk_frames: int = 10):
+    """Returns velocity (n_frames, nx, ny, nz, 3) centered, smoke
+    (n_frames, nx, ny, nz), both EXCLUDING the initial rest frame.
+
+    The frame loop is chunked across jit calls (chunk_frames per program):
+    very long scans of this 3D kernel can fault some TPU runtimes, and
+    chunking costs nothing (the compiled chunk is reused)."""
+    nx, ny, nz = cfg.res
+    inflow = jnp.asarray(inflow_field(cfg))
+    jit_x, jit_y = jax.random.uniform(
+        seed_key, (2,), minval=-cfg.buoyancy_jitter, maxval=cfg.buoyancy_jitter
     )
-    return vel, smk
+    f_vec = (jit_x, jit_y, cfg.buoyancy_z)
+
+    state = (
+        jnp.zeros((nx + 1, ny, nz)),
+        jnp.zeros((nx, ny + 1, nz)),
+        jnp.zeros((nx, ny, nz + 1)),
+        jnp.zeros((nx, ny, nz)),
+        jnp.zeros((nx, ny, nz)),
+    )
+    vels, smks = [], []
+    remaining = cfg.n_frames
+    while remaining > 0:
+        n = min(chunk_frames, remaining)
+        state, vel, smk = _simulate_chunk(state, f_vec, inflow, cfg, n)
+        vels.append(vel)
+        smks.append(smk)
+        remaining -= n
+    return jnp.concatenate(vels, axis=0), jnp.concatenate(smks, axis=0)
 
 
 def _resize_align_corners_1d(arr: jnp.ndarray, axis: int, new_len: int) -> jnp.ndarray:
