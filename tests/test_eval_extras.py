@@ -1,0 +1,54 @@
+"""Coverage for rollout_experiment and prediction export."""
+
+import json
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sciml_pde_tpu.data.windows import WindowedTrajectories
+from sciml_pde_tpu.eval.prediction import export_rollout_trajectories
+from sciml_pde_tpu.eval.rollout_experiment import rollout_study
+from sciml_pde_tpu.models import FNO2d
+
+
+def _fixture():
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(3, 1, 12, 12, 2)).astype(np.float32)
+    decay = np.exp(-0.1 * np.arange(10, dtype=np.float32))[None, :, None, None, None]
+    data = jnp.asarray(base * decay)
+    grid = jnp.asarray(rng.uniform(size=(12, 12, 2)).astype(np.float32))
+    test = WindowedTrajectories(data, grid, initial_step=4, rollout=1, train=False)
+    model = FNO2d(num_channels=2, modes1=3, modes2=3, width=8, initial_step=4)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 12, 12, 4, 2)), grid[None]
+    )["params"]
+
+    def apply_fn(p, x, g):
+        return model.apply({"params": p}, x, g)
+
+    return test, apply_fn, params
+
+
+def test_rollout_study_horizons(tmp_path):
+    test, apply_fn, params = _fixture()
+    out = tmp_path / "study.json"
+    res = rollout_study(apply_fn, params, test, horizons=(1, 2, 3), batch_size=3,
+                        iLow=1, iHigh=3, out_path=out)
+    assert sorted(res) == [1, 2, 3]
+    assert all(np.isfinite(res[k]["nRMSE"]) for k in res)
+    assert len(res[3]["mse_time"]) == 3
+    loaded = json.loads(out.read_text())
+    assert "1" in loaded
+
+
+def test_export_rollout_trajectories(tmp_path):
+    test, apply_fn, params = _fixture()
+    paths = export_rollout_trajectories(
+        apply_fn, params, test, steps=3, out_dir=tmp_path, prefix="pred", batch_size=2
+    )
+    assert len(paths) == 3
+    with h5py.File(paths[0]) as f:
+        assert f["data"].shape == (3, 12, 12, 2)
+        assert np.isfinite(np.asarray(f["data"])).all()
