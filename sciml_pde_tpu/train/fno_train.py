@@ -228,6 +228,7 @@ def run_training(
     if_downsample: bool = False,
     model_family: str = "fno",  # fno | transformer3d
     transformer_kwargs: dict | None = None,
+    extra_train_files: list | None = None,
     train_subsample=(900, 900, 900),
     num_aux_samples: int = 3,
     auxiliary_weight: float = 0.7,
@@ -316,6 +317,7 @@ def run_training(
             ds = load_dr_baseline(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
+                extra_train_files=extra_train_files,
             )
             train_w, test_w = ds.train, ds.test
 
