@@ -38,6 +38,10 @@ def main(argv=None):
             run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}",
             log_every=500,
         )
+        if variant == "baseline" and cfg["train_subsample"][0] > 90:
+            # the primary file holds 90 train seeds; ds128 extends the
+            # train pool with the seeds-100..299 extension file
+            cfg["extra_train_files"] = ["2D_diff-react_ext_all_100_299.h5"]
         t0 = time.time()
         if variant == "aux":
             cfg["batch_size"] = 2  # reference config_dr.yaml:20 (2 for AUX)
