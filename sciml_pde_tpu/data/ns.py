@@ -1,0 +1,186 @@
+"""2D incompressible NS dataset loaders (primary / aux file pairing).
+
+Capability parity with the reference ``FNODatasetMult`` NS variants
+(``pdebench/models/fno_aux/utils_2d_ns.py:14-194`` and the baseline
+``fno/utils_2d_ns_baseline.py``):
+  - per-index files ``{sim_name}-{i}.h5`` holding ``velocity
+    (B, T, X, Y, 2)`` + ``particles (B, T, X, Y, 1)`` (written by
+    ``sciml_pde_tpu/sim/gen_ns_incomp.py``, schema ``data_io.py:17-123``);
+    channels concatenate to a ``(B, T, X, Y, 3)`` store;
+  - ``train_subsample`` as file count, or a float < 1 keeping
+    ``int(B * frac)`` trajectories of file 0 (``utils_2d_ns.py:74-99``);
+  - aux pairing: primary file ``f`` pairs with aux files
+    ``f*num_aux_samples + j`` at the same within-file trajectory index
+    (``utils_2d_ns.py:82-106``), expressed here as an explicit
+    ``aux_row_map`` consumed on device by the jitted aux step;
+  - test split: files ``test_range`` (reference files 250-274), one
+    window at t0=0 each (``utils_2d_ns.py:117-123``);
+  - ``if_downsample``: bilinear spatial upsample of the aux stream to the
+    primary resolution (``utils_2d_ns.py:142``);
+  - unit-square coordinate meshgrid.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import h5py
+import jax.numpy as jnp
+import numpy as np
+
+from sciml_pde_tpu.data.windows import WindowedTrajectories
+
+
+@dataclasses.dataclass
+class NSBaselineDataset:
+    train: WindowedTrajectories
+    test: WindowedTrajectories
+
+
+@dataclasses.dataclass
+class NSAuxDataset:
+    primary_train: WindowedTrajectories
+    primary_test: WindowedTrajectories
+    aux_train: WindowedTrajectories
+    aux_row_map: np.ndarray  # (num_primary_rows, num_aux_samples) int32
+
+
+def _read_ns_file(path: Path) -> np.ndarray:
+    """One NS file -> (B, T, X, Y, 3) = velocity ++ particles."""
+    with h5py.File(path, "r") as f:
+        vel = np.asarray(f["velocity"], np.float32)
+        par = np.asarray(f["particles"], np.float32)
+    return np.concatenate([vel, par], axis=-1)
+
+
+def unit_grid(nx: int, ny: int) -> np.ndarray:
+    gx, gy = np.meshgrid(
+        np.linspace(0.0, 1.0, nx, dtype=np.float32),
+        np.linspace(0.0, 1.0, ny, dtype=np.float32),
+        indexing="ij",
+    )
+    return np.stack([gx, gy], axis=-1)
+
+
+def _load_primary(base: Path, sim_name: str, subsample):
+    """Train trajectories per ``train_subsample`` semantics.
+
+    Returns (data (N, T, X, Y, 3), per_file_rows) where per_file_rows[f]
+    lists the store rows of file f (needed for aux pairing).
+    """
+    if isinstance(subsample, float) and subsample < 1:
+        block = _read_ns_file(base / f"{sim_name}-0.h5")
+        keep = max(int(subsample * block.shape[0]), 1)
+        return block[:keep], [list(range(keep))]
+    files = [base / f"{sim_name}-{i}.h5" for i in range(int(subsample))]
+    blocks = [_read_ns_file(p) for p in files]
+    rows, per_file = [], []
+    start = 0
+    for b in blocks:
+        per_file.append(list(range(start, start + b.shape[0])))
+        start += b.shape[0]
+    return np.concatenate(blocks), per_file
+
+
+def _load_test(base: Path, sim_name: str, test_range) -> np.ndarray:
+    blocks = [
+        _read_ns_file(base / f"{sim_name}-{i}.h5") for i in range(*test_range)
+    ]
+    return np.concatenate(blocks)
+
+
+def load_ns_baseline(
+    base_path: str,
+    *,
+    train_subsample=1,
+    initial_step: int = 10,
+    rollout_test: int = 1,
+    sim_name: str = "ns_incom_inhom_2d_256",
+    test_range=(250, 275),
+) -> NSBaselineDataset:
+    base = Path(base_path)
+    train, _ = _load_primary(base, sim_name, train_subsample)
+    test = _load_test(base, sim_name, test_range)
+    grid = jnp.asarray(unit_grid(train.shape[2], train.shape[3]))
+    return NSBaselineDataset(
+        train=WindowedTrajectories(
+            jnp.asarray(train), grid,
+            initial_step=initial_step, rollout=rollout_test, train=True,
+        ),
+        test=WindowedTrajectories(
+            jnp.asarray(test), grid,
+            initial_step=initial_step, rollout=rollout_test, train=False,
+        ),
+    )
+
+
+def load_ns_aux(
+    base_path: str,
+    aux_path: str | None = None,
+    *,
+    train_subsample=(900, 900, 900),
+    num_aux_samples: int = 24,
+    initial_step: int = 10,
+    rollout_test: int = 1,
+    sim_name: str = "ns_incom_inhom_2d_256",
+    aux_name: str = "ns_aux_2d_256",
+    if_downsample: bool = False,
+    test_range=(250, 275),
+) -> NSAuxDataset:
+    """Aux-paired NS dataset.
+
+    Primary file ``f`` (``train_subsample[1]`` files, or a fraction of
+    file 0) pairs with aux files ``f*num_aux_samples + j``; the row map
+    resolves (primary row, j) -> aux store row for the on-device gather.
+    ``train_subsample[2]`` bounds how many aux files are loaded.
+    """
+    base = Path(base_path)
+    abase = Path(aux_path) if aux_path else base
+    primary, per_file = _load_primary(base, sim_name, train_subsample[1])
+    test = _load_test(base, sim_name, test_range)
+
+    n_aux_files = int(train_subsample[2])
+    need_files = len(per_file) * num_aux_samples
+    if n_aux_files < need_files:
+        raise ValueError(
+            f"need {need_files} aux files ({len(per_file)} primary files x "
+            f"{num_aux_samples} aux samples) but train_subsample[2]={n_aux_files}"
+        )
+    aux_blocks = [
+        _read_ns_file(abase / f"{aux_name}-{i}.h5") for i in range(need_files)
+    ]
+    aux_rows_per_file = aux_blocks[0].shape[0]
+    aux = np.concatenate(aux_blocks)
+
+    # (primary row, j) -> aux row: same within-file trajectory index b in
+    # aux file f*num_aux + j (reference utils_2d_ns.py:82-106)
+    row_map = np.empty((primary.shape[0], num_aux_samples), np.int32)
+    for f, rows in enumerate(per_file):
+        for b, p_row in enumerate(rows):
+            for j in range(num_aux_samples):
+                row_map[p_row, j] = (f * num_aux_samples + j) * aux_rows_per_file + b
+
+    if if_downsample or aux.shape[2:4] != primary.shape[2:4]:
+        import jax
+
+        target = (aux.shape[0], aux.shape[1], *primary.shape[2:4], aux.shape[-1])
+        aux_j = jax.image.resize(jnp.asarray(aux), target, method="linear")
+    else:
+        aux_j = jnp.asarray(aux)
+
+    grid = jnp.asarray(unit_grid(primary.shape[2], primary.shape[3]))
+    return NSAuxDataset(
+        primary_train=WindowedTrajectories(
+            jnp.asarray(primary), grid,
+            initial_step=initial_step, rollout=rollout_test, train=True,
+        ),
+        primary_test=WindowedTrajectories(
+            jnp.asarray(test), grid,
+            initial_step=initial_step, rollout=rollout_test, train=False,
+        ),
+        aux_train=WindowedTrajectories(
+            aux_j, grid, initial_step=initial_step, rollout=rollout_test, train=True,
+        ),
+        aux_row_map=row_map,
+    )

@@ -1,0 +1,113 @@
+"""HBM-resident trajectory store + on-device window gather.
+
+Replaces the reference's sliding-window Datasets (e.g.
+``pdebench/models/fno_aux/utils_2d_rd.py:147-176``: index = (trajectory,
+t0) over all windows of ``initial_step`` frames, read lazily per
+``__getitem__`` in DataLoader workers).  Here the full trajectory tensor
+lives on device and ``gather_windows`` runs *inside* the jitted train
+step, so batch assembly is an XLA gather fused with the forward pass and
+the host only ships ``(B, 2)`` int32 indices per step.
+
+Window layout matches the reference's model contract: inputs are
+``(B, *spatial, T, C)`` with time second-to-last (``utils_2d_rd.py:160``
+permutes to that layout before returning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def gather_windows(
+    data: jnp.ndarray, idx: jnp.ndarray, initial_step: int, rollout: int
+):
+    """Gather (x, y) windows from a trajectory store.
+
+    Args:
+      data: ``(N, T, *spatial, C)`` trajectory store (device-resident).
+      idx:  ``(B, 2)`` int32 rows of ``(trajectory, t0)``.
+      initial_step: input window length (frames fed to the model).
+      rollout: target length; ``y`` covers frames
+        ``t0+initial_step .. t0+initial_step+rollout-1``.  ``rollout=0``
+        returns an empty-time ``y`` (used by SSL pretraining / export).
+
+    Returns:
+      ``x: (B, *spatial, initial_step, C)`` and
+      ``y: (B, *spatial, rollout, C)`` — time second-to-last, the layout
+      every model family here consumes.
+    """
+    span = initial_step + rollout
+    offs = jnp.arange(span, dtype=idx.dtype)
+    # (B, span) frame indices -> one fused XLA gather over (traj, frame)
+    win = data[idx[:, 0, None], idx[:, 1, None] + offs[None, :]]
+    win = jnp.moveaxis(win, 1, -2)  # (B, *spatial, span, C)
+    return win[..., :initial_step, :], win[..., initial_step:, :]
+
+
+class WindowedTrajectories:
+    """A trajectory store with its coordinate grid and window bookkeeping.
+
+    ``train=True`` enumerates every valid sliding window (reference
+    train-split behavior); ``train=False`` exposes exactly one window per
+    trajectory at ``t0=0`` (reference test-split behavior, e.g.
+    ``utils_2d_ns.py:117-123``).
+    """
+
+    def __init__(self, data, grid, *, initial_step: int, rollout: int = 1,
+                 train: bool = True):
+        self.data = data if isinstance(data, jnp.ndarray) else jnp.asarray(data)
+        self.grid = grid if isinstance(grid, jnp.ndarray) else jnp.asarray(grid)
+        self.initial_step = int(initial_step)
+        self.rollout = int(rollout)
+        self.train = bool(train)
+        n_t = self.data.shape[1]
+        if n_t < self.initial_step + self.rollout:
+            raise ValueError(
+                f"trajectories have {n_t} frames < initial_step+rollout "
+                f"({self.initial_step}+{self.rollout})"
+            )
+
+    @property
+    def num_trajectories(self) -> int:
+        return int(self.data.shape[0])
+
+    @property
+    def windows_per_trajectory(self) -> int:
+        if not self.train:
+            return 1
+        return self.data.shape[1] - self.initial_step - self.rollout + 1
+
+    def window_index(self) -> np.ndarray:
+        """``(num_windows, 2)`` int32 host array of (trajectory, t0) rows."""
+        n, w = self.num_trajectories, self.windows_per_trajectory
+        traj = np.repeat(np.arange(n, dtype=np.int32), w)
+        t0 = np.tile(np.arange(w, dtype=np.int32), n)
+        return np.stack([traj, t0], axis=1)
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return (
+            f"WindowedTrajectories(data={tuple(self.data.shape)}, "
+            f"grid={tuple(self.grid.shape)}, initial_step={self.initial_step}, "
+            f"rollout={self.rollout}, train={self.train})"
+        )
+
+
+def epoch_batches(index: np.ndarray, batch_size: int, rng=None):
+    """Yield shuffled fixed-size index batches for one epoch.
+
+    Fixed batch shapes keep a single jit cache entry; the remainder is
+    dropped (reference DataLoader ``drop_last`` effect).  When fewer rows
+    than ``batch_size`` exist the permuted rows are tiled up to one full
+    batch so tiny debug datasets still train.
+    """
+    index = np.asarray(index)
+    n = len(index)
+    order = rng.permutation(n) if rng is not None else np.arange(n)
+    nb = n // batch_size
+    if nb == 0:
+        reps = -(-batch_size // max(n, 1))
+        yield index[np.tile(order, reps)[:batch_size]]
+        return
+    for b in range(nb):
+        yield index[order[b * batch_size : (b + 1) * batch_size]]
