@@ -426,10 +426,13 @@ def generate_plume_files(path, seed: int, cfg: Plume3DConfig, suffix: str = ""):
     v_data, s_data = resample_outputs(vel, smk, cfg)
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
+    # lzf: the device sim takes ~27 s/trajectory but gzip spent ~2 min
+    # compressing it; lzf is ~20x faster at slightly larger files and the
+    # schema (dataset name/shape/dtype) is unchanged
     with h5py.File(path / f"v_trj_seed{seed}{suffix}.h5", "w") as f:
-        f.create_dataset("data", data=v_data, compression="gzip")
+        f.create_dataset("data", data=v_data, compression="lzf", shuffle=True)
     with h5py.File(path / f"s_trj_seed{seed}{suffix}.h5", "w") as f:
-        f.create_dataset("data", data=s_data, compression="gzip")
+        f.create_dataset("data", data=s_data, compression="lzf", shuffle=True)
 
 
 def main(argv=None):

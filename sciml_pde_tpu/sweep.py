@@ -24,8 +24,13 @@ from sciml_pde_tpu.utils.config import load_config
 VARIANTS = {
     "baseline": {"if_aux": False},
     "aux": {"if_aux": True},
-    "ts_down": {"if_aux": True, "if_downsample": True},
-    "tsdecomp_down": {"if_aux": True, "if_downsample": True},
+    # spatiotemporal-downsampled full-physics aux (reference
+    # fno_aux/utils_2d_rd.py:41) vs decomposed+downsampled aux (the
+    # transformer Downsampled/ dirs' downsample_filename)
+    "ts_down": {"if_aux": True, "if_downsample": True,
+                "aux_file": "2D_diff-react_downsample_t50_96.h5"},
+    "tsdecomp_down": {"if_aux": True, "if_downsample": True,
+                      "aux_file": "2D_diff-react_decomp_downsample.h5"},
     "fno_lie": {"if_aux": False, "lie_augment": True},
 }
 DEFAULT_SEEDS = (16, 99, 17)

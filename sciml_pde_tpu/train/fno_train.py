@@ -226,6 +226,7 @@ def run_training(
     test_range=(250, 275),
     if_aux: bool = False,
     if_downsample: bool = False,
+    aux_file: str | None = None,
     model_family: str = "fno",  # fno | transformer3d
     transformer_kwargs: dict | None = None,
     extra_train_files: list | None = None,
@@ -292,6 +293,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, if_downsample=if_downsample,
+                aux_file=aux_file, extra_train_files=extra_train_files,
             )
         train_w, test_w = ds.primary_train, ds.primary_test
     else:
