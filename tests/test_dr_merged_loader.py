@@ -31,3 +31,29 @@ def test_extra_train_files_extend_pool(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(base.train.data), np.asarray(merged.train.data[:9])
     )
+
+
+def test_downsample_tool_roundtrip(tmp_path):
+    from sciml_pde_tpu.sim.downsample_dr import downsample_file
+    from sciml_pde_tpu.data.dr import load_dr_aux
+
+    generate_dataset(tmp_path / "2D_diff-react_test_all.h5", 10,
+                     DiffReactConfig(sim_type="react", **CFG), verbose=False)
+    generate_dataset(tmp_path / "2D_diff-react_test_diff.h5", 10,
+                     DiffReactConfig(sim_type="diff", **CFG), verbose=False)
+    n = downsample_file(
+        tmp_path / "2D_diff-react_test_diff.h5",
+        tmp_path / "2D_diff-react_downsample_t50_96.h5", tdim=3, res=4,
+        verbose=False,
+    )
+    assert n == 10
+    import h5py
+    with h5py.File(tmp_path / "2D_diff-react_downsample_t50_96.h5") as f:
+        assert sorted(f.keys())[0] == "0000"
+        assert f["0000/data"].shape == (3, 4, 4, 2)
+        assert f["0000/grid/x"].shape == (4,)
+
+    # the ts_down loader path upsamples it back to the primary resolution
+    ds = load_dr_aux(str(tmp_path), train_subsample=(4, 2, 6),
+                     num_aux_samples=3, initial_step=2, if_downsample=True)
+    assert ds.aux_train.data.shape[1:] == ds.primary_train.data.shape[1:]
