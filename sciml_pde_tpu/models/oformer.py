@@ -87,7 +87,10 @@ class LinearAttention(nn.Module):
     min_freq: float = 1 / 64
 
     @nn.compact
-    def __call__(self, x, pos=None):
+    def __call__(self, x, pos=None, mask=None):
+        # mask: optional (b, n) bool — padded rows excluded from the
+        # Galerkin contraction (reference TransformerWithPad,
+        # BVP/nn_module/encoder_module.py:719-781)
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, kernel_init=ortho, name="to_qkv")(x)
@@ -115,8 +118,16 @@ class LinearAttention(nn.Module):
                 k = apply_rotary_pos_emb(k, f)
 
         # linear (Galerkin) contraction: q (k^T v) / n
+        if mask is not None:
+            m = mask[:, None, :, None]
+            k = jnp.where(m, k, 0.0)
+            v = jnp.where(m, v, 0.0)
+            denom = jnp.sum(mask, axis=1).astype(x.dtype)[:, None, None, None]
+            denom = jnp.maximum(denom, 1.0)
+        else:
+            denom = n
         dots = jnp.einsum("bhnd,bhne->bhde", k, v)
-        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / n
+        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / denom
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.dim, kernel_init=xavier, name="to_out")(out)
 
@@ -134,7 +145,9 @@ class CrossLinearAttention(nn.Module):
     min_freq: float = 1 / 64
 
     @nn.compact
-    def __call__(self, x, z, x_pos=None, z_pos=None):
+    def __call__(self, x, z, x_pos=None, z_pos=None, mask=None):
+        # mask: optional (b, m) bool over the context rows (reference
+        # CrossFormerWithPad, BVP/nn_module/decoder_module.py:1283-1320)
         b, n, _ = x.shape
         m = z.shape[1]
         inner = self.heads * self.dim_head
@@ -155,8 +168,16 @@ class CrossLinearAttention(nn.Module):
             q = apply_2d_rotary_pos_emb(q, fqx, fqy)
             k = apply_2d_rotary_pos_emb(k, fkx, fky)
 
+        if mask is not None:
+            mm = mask[:, None, :, None]
+            k = jnp.where(mm, k, 0.0)
+            v = jnp.where(mm, v, 0.0)
+            denom = jnp.sum(mask, axis=1).astype(x.dtype)[:, None, None, None]
+            denom = jnp.maximum(denom, 1.0)
+        else:
+            denom = m
         dots = jnp.einsum("bhmd,bhme->bhde", k, v)
-        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / m
+        out = jnp.einsum("bhnd,bhde->bhne", q, dots) / denom
         out = out.transpose(0, 2, 1, 3).reshape(b, n, inner)
         return nn.Dense(self.dim, kernel_init=xavier, name="to_out")(out)
 
@@ -188,7 +209,7 @@ class GalerkinTransformer(nn.Module):
     relative_emb_dim: int = 2
 
     @nn.compact
-    def __call__(self, x, pos):
+    def __call__(self, x, pos, mask=None):
         scales = list(self.scales)
         assert len(scales) == self.depth
         for i in range(self.depth):
@@ -198,9 +219,11 @@ class GalerkinTransformer(nn.Module):
                 relative_emb=True, scale=float(scales[i]), min_freq=self.min_freq,
                 relative_emb_dim=self.relative_emb_dim,
                 name=f"attn{i}",
-            )(h, pos)
+            )(h, pos, mask=mask)
             h = nn.LayerNorm(name=f"ln_ffn{i}")(x)
             x = x + FeedForward(self.dim, self.mlp_dim, name=f"ffn{i}")(h)
+            if mask is not None:
+                x = jnp.where(mask[..., None], x, 0.0)
         return x
 
 
@@ -393,3 +416,81 @@ class OFormer1D(nn.Module):
         )
         return nn.Dense(self.out_channels * self.out_steps, kernel_init=xavier,
                         name="out_fc2")(z)
+
+
+class OFormerIrreg2D(nn.Module):
+    """Steady-state operator on irregular point clouds with padding.
+
+    Capability parity with the vendored BVP suite's
+    ``IrregSpatialEncoder2D`` (BVP/nn_module/encoder_module.py:719-781)
+    + ``IrregSpatialDecoder2D`` (decoder_module.py:1283-1380): variable-
+    size scattered node sets arrive zero-padded with a boolean pad mask;
+    the encoder embeds node features and runs pad-aware Galerkin
+    attention; the decoder projects (x, y, boundary-flag) coordinates,
+    cross-attends into the encoded context, mixes, and emits a scalar
+    (potential) head and a 2-vector (field) head.  Covers the electro/
+    magneto BVP and steady airfoil cases; time-dependent point sets
+    flatten their window into the feature channels (the reference's
+    IrregSTEncoder2D combines frames the same way before attention).
+
+    __call__(x (B,N,C), pos (B,N,2), pad_mask (B,N) bool,
+             bound_mask (B,N) bool) -> (scalar (B,N,1), field (B,N,2))
+    """
+
+    input_channels: int
+    latent_channels: int = 64
+    heads: int = 1
+    depth: int = 2
+    res: int = 50
+
+    @nn.compact
+    def __call__(self, x, pos, pad_mask, bound_mask):
+        lc = self.latent_channels
+        mask_f = pad_mask[..., None]
+
+        # ---- encoder --------------------------------------------------
+        h = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="emb_fc1")(x)
+        h = nn.relu(h)
+        h = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="emb_fc2")(h)
+        h = jnp.where(mask_f, h, 0.0)
+        scales = [self.res, self.res // 4] + [1] * max(self.depth - 2, 0)
+        h = GalerkinTransformer(
+            lc, self.depth, self.heads, lc, lc,
+            scales=tuple(scales[: self.depth]), min_freq=1 / self.res,
+            name="s_transformer",
+        )(h, pos, mask=pad_mask)
+        h = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="enc_out_fc1")(h)
+        h = nn.relu(h)
+        z = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="enc_out_fc2")(h)
+        z = jnp.where(mask_f, z, 0.0)
+
+        # ---- decoder --------------------------------------------------
+        coords = jnp.concatenate([pos, bound_mask[..., None].astype(x.dtype)], -1)
+        c = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="coord_fc1")(coords)
+        c = nn.gelu(c, approximate=False)
+        c = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="coord_fc2")(c)
+        c = nn.gelu(c, approximate=False)
+        c = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="coord_fc3")(c)
+
+        d = c + CrossLinearAttention(
+            lc, "galerkin", heads=4, dim_head=lc, scale=1.0,
+            min_freq=1 / self.res, name="decoding_xattn",
+        )(c, z, pos, pos, mask=pad_mask)
+        d = d + LinearAttention(
+            lc, "galerkin", heads=1, dim_head=lc, scale=4.0,
+            min_freq=1 / self.res, name="mix_attn",
+        )(d, pos, mask=pad_mask)
+
+        d = jnp.concatenate([d, bound_mask[..., None].astype(x.dtype)], -1)
+        d = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="dec_out_fc1")(d)
+        d = nn.relu(d)
+        d = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="dec_out_fc2")(d)
+
+        def head(t, width, name):
+            t = nn.Dense(lc, use_bias=False, kernel_init=xavier, name=f"{name}_fc1")(t)
+            t = nn.relu(t)
+            return nn.Dense(width, kernel_init=xavier, name=f"{name}_fc2")(t)
+
+        scalar = jnp.where(mask_f, head(d, 1, "scalar_head"), 0.0)
+        field = jnp.where(mask_f, head(d, 2, "field_head"), 0.0)
+        return scalar, field

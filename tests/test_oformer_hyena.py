@@ -89,3 +89,56 @@ def test_hyena_operator_and_hybrid():
     u = hyb.apply({"params": p}, xg, pos)
     assert u.shape == (b, n, 1)
     assert np.isfinite(np.asarray(u)).all()
+
+
+class TestPointsetBVP:
+    """Irregular point-set BVP path (BVP/airfoil class): pad-masked
+    Galerkin attention, two-head decode, masked loss."""
+
+    def test_mask_invariance(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from sciml_pde_tpu.comparisons.pointset_bvp import synthetic_electrostatics
+        from sciml_pde_tpu.models.oformer import OFormerIrreg2D
+
+        d = synthetic_electrostatics(0, 2, max_points=24, min_points=16)
+        model = OFormerIrreg2D(input_channels=d["features"].shape[-1],
+                               latent_channels=16, depth=2)
+        args = (jnp.asarray(d["features"]), jnp.asarray(d["coords"]),
+                jnp.asarray(d["pad_mask"]), jnp.asarray(d["bound_mask"]))
+        params = model.init(jax.random.PRNGKey(0), *args)["params"]
+        s1, f1 = model.apply({"params": params}, *args)
+        # scribble garbage into the padded rows: outputs must not change
+        feats = np.array(d["features"])
+        feats[~d["pad_mask"]] = 1e3
+        coords = np.array(d["coords"])
+        coords[~d["pad_mask"]] = -7.0
+        s2, f2 = model.apply({"params": params}, jnp.asarray(feats),
+                             jnp.asarray(coords), args[2], args[3])
+        valid = d["pad_mask"]
+        np.testing.assert_allclose(np.asarray(s1)[valid], np.asarray(s2)[valid],
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f1)[valid], np.asarray(f2)[valid],
+                                   rtol=1e-4, atol=1e-5)
+        # padded outputs are exactly zero
+        np.testing.assert_array_equal(np.asarray(s1)[~valid], 0.0)
+
+    def test_training_learns(self, tmp_path):
+        import numpy as np
+        from sciml_pde_tpu.comparisons.pointset_bvp import (
+            evaluate_pointset, run_pointset_training, synthetic_electrostatics,
+        )
+        from sciml_pde_tpu.models.oformer import OFormerIrreg2D
+
+        train = synthetic_electrostatics(0, 48, max_points=32, min_points=24)
+        test = synthetic_electrostatics(1, 8, max_points=32, min_points=24)
+        res = run_pointset_training(
+            train, latent_channels=24, depth=2, batch_size=8, epochs=8,
+            run_dir=str(tmp_path), log_every=1000,
+        )
+        assert res.history[-1]["loss"] < res.history[0]["loss"] * 0.8
+        model = OFormerIrreg2D(input_channels=train["features"].shape[-1],
+                               latent_channels=24, depth=2)
+        m = evaluate_pointset(model, res.params, test)
+        assert np.isfinite(m["scalar_l1"]) and np.isfinite(m["field_l1"])
