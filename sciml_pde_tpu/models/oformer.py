@@ -494,3 +494,120 @@ class OFormerIrreg2D(nn.Module):
         scalar = jnp.where(mask_f, head(d, 1, "scalar_head"), 0.0)
         field = jnp.where(mask_f, head(d, 2, "field_head"), 0.0)
         return scalar, field
+
+
+class OFormerIrregST2D(nn.Module):
+    """Time-dependent operator on irregular point clouds (airfoil class).
+
+    Capability parity with the vendored airfoil suite's
+    ``IrregSTEncoder2D`` (BVP/nn_module/encoder_module.py:783-855) +
+    ``IrregSTDecoder2D`` (airfoil/nn_module/decoder_module.py:1395-1500):
+    a ``time_window`` of frames on a scattered mesh is collapsed by a
+    strided temporal conv stack, node-type embeddings are added (interior
+    / boundary / obstacle), a Galerkin transformer encodes space, and the
+    decoder rolls the dynamics ``forward_steps`` times in latent space,
+    decoding each step — the mesh never needs to be a grid.
+
+    __call__(x (B,T,N,C), node_type (B,N) int, pos (B,N,2),
+             forward_steps, pad_mask=None) -> (B, forward_steps, N, out)
+    """
+
+    input_channels: int
+    out_channels: int
+    time_window: int = 4
+    max_node_type: int = 3
+    emb_dim: int = 64
+    latent_channels: int = 64
+    heads: int = 1
+    depth: int = 2
+    res: int = 200
+    ff_scale: float = 8.0
+
+    @nn.compact
+    def __call__(self, x, node_type, pos, forward_steps: int, pad_mask=None):
+        b, t, n, _ = x.shape
+        lc = self.latent_channels
+
+        # ---- temporal collapse (conv (3,) s2 -> (tw/2,) s tw/2 -> 1x1) --
+        h = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * n, t, x.shape[-1])
+        h = nn.Conv(self.emb_dim, (3,), strides=(2,), padding=[(1, 1)],
+                    use_bias=False, name="t_conv1")(h)
+        h = nn.gelu(h, approximate=False)
+        half = max(self.time_window // 2, 1)
+        h = nn.Conv(self.emb_dim, (half,), strides=(half,), padding="VALID",
+                    use_bias=False, name="t_conv2")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Conv(self.emb_dim, (1,), use_bias=False, name="t_conv3")(h)
+        h = h.reshape(b, n, -1, self.emb_dim)[:, :, 0]  # (b, n, emb)
+
+        # ---- node-type embedding + spatial transformer ------------------
+        h = h + nn.Embed(self.max_node_type, self.emb_dim, name="node_emb")(node_type)
+        h = nn.Dense(self.emb_dim, use_bias=False, kernel_init=xavier,
+                     name="combine")(h)
+        h_skip = h
+        scales = ([32, 16, 8, 8] + [1] * (self.depth - 4)) if self.depth > 4 else (
+            [32] + [16] * max(self.depth - 2, 0) + [1]
+        )
+        h = GalerkinTransformer(
+            self.emb_dim, self.depth, self.heads, self.emb_dim, self.emb_dim,
+            scales=tuple(scales[: self.depth]), min_freq=1 / self.res,
+            name="s_transformer",
+        )(h, pos, mask=pad_mask)
+        h = nn.LayerNorm(name="enc_ln")(h + h_skip)
+        z = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="enc_out")(h)
+
+        # ---- decoder: coordinate/node query + latent rollout ------------
+        z_node = nn.Embed(self.max_node_type, lc, name="dec_node_emb")(node_type)
+        c = GaussianFourierFeatureTransform(lc // 2, self.ff_scale,
+                                            name="coord_ff")(pos)
+        c = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="coord_fc1")(c)
+        c = nn.gelu(c, approximate=False)
+        c = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="coord_fc2")(c)
+        c = nn.Dense(lc, use_bias=False, kernel_init=xavier, name="dec_combine")(
+            jnp.concatenate([c, z_node], -1)
+        )
+
+        d = CrossLinearAttention(
+            lc, "galerkin", heads=4, dim_head=lc, scale=32.0,
+            min_freq=1 / self.res, name="decoding_xattn",
+        )(c, z, pos, pos, mask=pad_mask)
+        d = d + LinearAttention(
+            lc, "galerkin", heads=1, dim_head=lc, scale=32.0,
+            min_freq=1 / self.res, name="mix_attn",
+        )(d, pos, mask=pad_mask)
+        d = nn.Dense(2 * lc, use_bias=False, kernel_init=xavier, name="expand")(d)
+
+        prop_ln = nn.LayerNorm(name="prop_ln")
+        prop_fcs = [
+            nn.Dense(2 * lc, use_bias=False, kernel_init=xavier, name=f"prop_fc{i}")
+            for i in range(4)
+        ]
+        out_ln = nn.LayerNorm(name="out_ln")
+        out_fcs = [
+            nn.Dense(2 * lc, use_bias=False, kernel_init=xavier, name="out_fc1"),
+            nn.Dense(lc, use_bias=False, kernel_init=xavier, name="out_fc2"),
+            nn.Dense(self.out_channels, kernel_init=xavier, name="out_fc3"),
+        ]
+
+        def propagate(zz):
+            hcat = jnp.concatenate([prop_ln(zz), z_node, pos], -1)
+            for i, fc in enumerate(prop_fcs):
+                hcat = fc(hcat)
+                if i < 3:
+                    hcat = nn.gelu(hcat, approximate=False)
+            return hcat + zz
+
+        def decode(zz):
+            u = jnp.concatenate([out_ln(zz), z_node], -1)
+            u = nn.relu(out_fcs[0](u))
+            u = nn.relu(out_fcs[1](u))
+            return out_fcs[2](u)
+
+        frames = []
+        for _ in range(forward_steps):
+            d = propagate(d)
+            frames.append(decode(d))
+        out = jnp.stack(frames, axis=1)  # (b, steps, n, out)
+        if pad_mask is not None:
+            out = jnp.where(pad_mask[:, None, :, None], out, 0.0)
+        return out

@@ -142,3 +142,16 @@ class TestPointsetBVP:
                                latent_channels=24, depth=2)
         m = evaluate_pointset(model, res.params, test)
         assert np.isfinite(m["scalar_l1"]) and np.isfinite(m["field_l1"])
+
+    def test_airfoil_st_training_learns(self, tmp_path):
+        from sciml_pde_tpu.comparisons.pointset_bvp import (
+            run_airfoil_training, synthetic_vortex_sheet,
+        )
+
+        data = synthetic_vortex_sheet(0, 6, n_points=48, n_frames=10)
+        res = run_airfoil_training(
+            data, time_window=4, forward_steps=2, emb_dim=32,
+            latent_channels=32, depth=2, batch_size=4, epochs=6,
+            run_dir=str(tmp_path), log_every=1000,
+        )
+        assert res.history[-1]["l1"] < res.history[0]["l1"] * 0.9
