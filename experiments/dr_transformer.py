@@ -1,9 +1,16 @@
-"""2D DR transformer (VideoMAE operator) demo: baseline vs aux.
+"""2D DR transformer (VideoMAE operator): baseline vs aux, any scale.
 
 The reference's Transformer_2D_DR experiments use in_chans 2, img 128,
-tubelet 1 (config_transformer_aux_rd.yaml:39-53).  This runs a mid-size
-configuration end to end on the generated DR data and records rollout
-nRMSE for both variants.
+tubelet 1, encoder 1024x16 heads, 60 epochs, fp16 AMP
+(Ours/config_transformer_aux_rd.yaml:39-53).  Defaults here are a
+mid-size smoke configuration; the full-size study (and the
+aux-instability experiment matrix {precision} x {aux_weight} x
+{warmup}) is driven through the flags, e.g.
+
+  python experiments/dr_transformer.py --dataset basic_ds8 --epochs 60 \
+      --encoder-dim 1024 --encoder-depth 12 --encoder-heads 16 \
+      --decoder-dim 512 --decoder-depth 8 --batch-size 2 --grad-accum 2 \
+      --aux-weight 0.5 --warmup-frac 0.05 --precision bf16
 """
 
 from __future__ import annotations
@@ -19,11 +26,22 @@ import jax.numpy as jnp
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", default="data/")
+    p.add_argument("--dataset", default="basic_ds8")
     p.add_argument("--epochs", type=int, default=30)
     p.add_argument("--encoder-dim", type=int, default=384)
     p.add_argument("--encoder-depth", type=int, default=6)
+    p.add_argument("--encoder-heads", type=int, default=8)
     p.add_argument("--decoder-dim", type=int, default=256)
     p.add_argument("--decoder-depth", type=int, default=4)
+    p.add_argument("--decoder-heads", type=int, default=8)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--aux-weight", type=float, default=0.5)
+    p.add_argument("--warmup-frac", type=float, default=0.05)
+    p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--seed", type=int, default=16)
+    p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
     p.add_argument("--out", default="runs/dr_transformer")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
     a = p.parse_args(argv)
@@ -32,41 +50,48 @@ def main(argv=None):
     from sciml_pde_tpu.eval.rollout import evaluate_rollout
     from sciml_pde_tpu.data.dr import load_dr_baseline
     from sciml_pde_tpu.models.transformer import VideoMAEOperator, VideoMAEOperatorAux
+    from sciml_pde_tpu.utils.config import load_config
 
     out = Path(a.out)
     out.mkdir(parents=True, exist_ok=True)
+    train_subsample = load_config("config_dr", a.dataset)["train_subsample"]
     # reference hyperparameters (config_transformer_aux_rd.yaml): lr 3e-4,
     # 5% warmup, aux weight 0.5
-    steps_per_epoch = 8 * 91 // 4
+    steps_per_epoch = max(train_subsample[0] * 91 // a.batch_size, 1)
     kw = dict(
         img_size=128, patch_size=16, tubelet_size=1, in_chans=2,
         encoder_embed_dim=a.encoder_dim, encoder_depth=a.encoder_depth,
-        encoder_num_heads=8,
+        encoder_num_heads=a.encoder_heads,
         decoder_embed_dim=a.decoder_dim, decoder_depth=a.decoder_depth,
-        decoder_num_heads=8,
-        initial_step=10, batch_size=4, epochs=a.epochs,
-        learning_rate_share=3e-4, learning_rate_heads=3e-4,
-        warmup_steps=max(int(0.05 * a.epochs * steps_per_epoch), 1),
-        auxiliary_weight=0.5,
+        decoder_num_heads=a.decoder_heads,
+        initial_step=10, batch_size=a.batch_size, epochs=a.epochs,
+        grad_accum=a.grad_accum, bf16=(a.precision == "bf16"),
+        learning_rate_share=a.lr, learning_rate_heads=a.lr,
+        warmup_steps=max(int(a.warmup_frac * a.epochs * steps_per_epoch), 1),
+        auxiliary_weight=a.aux_weight,
+        seed=a.seed,
     )
-    results = {}
+    summary_path = out / "summary.json"
+    results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
     for variant in a.variants:
+        key = f"{a.dataset}_{variant}{('_' + a.tag) if a.tag else ''}"
         t0 = time.time()
         res = run_transformer_training(
             base_path=a.data, aux_path=a.data, dataset_family="dr",
-            if_aux=(variant == "aux"), train_subsample=(8, 4, 12),
+            if_aux=(variant == "aux"), train_subsample=tuple(train_subsample),
             num_aux_samples=3, run_dir=str(out),
-            model_name=f"vmae_dr_{variant}", log_every=500, **kw,
+            model_name=f"vmae_dr_{key}", log_every=500, **kw,
         )
         train_s = time.time() - t0
-        print(f"{variant}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
+        print(f"{key}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
 
         ds = load_dr_baseline(a.data, train_subsample=1, initial_step=10, rollout_test=5)
         mk = dict(
             img_size=128, patch_size=16, tubelet_size=1, in_chans=2,
             num_frames=10, encoder_dim=a.encoder_dim, encoder_depth=a.encoder_depth,
-            encoder_heads=8, decoder_dim=a.decoder_dim, decoder_depth=a.decoder_depth,
-            decoder_heads=8, dtype=jnp.bfloat16,
+            encoder_heads=a.encoder_heads, decoder_dim=a.decoder_dim,
+            decoder_depth=a.decoder_depth, decoder_heads=a.decoder_heads,
+            dtype=jnp.bfloat16 if a.precision == "bf16" else jnp.float32,
         )
         if variant == "aux":
             model = VideoMAEOperatorAux(**mk)
@@ -88,13 +113,14 @@ def main(argv=None):
                                  params=res.params)
             study[k] = m["nRMSE"]
             print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
-        results[variant] = {
+        results[key] = {
             "best_val": float(res.best_val),
             "train_seconds": train_s,
+            "val_history": [h.get("val_loss") for h in res.history],
             "rollout_nrmse": [study[k] for k in sorted(study)],
         }
-        (out / "summary.json").write_text(json.dumps(results, indent=1))
-    print(json.dumps(results, indent=1), flush=True)
+        summary_path.write_text(json.dumps(results, indent=1))
+    print(json.dumps({k: results[k] for k in results}, indent=1), flush=True)
 
 
 if __name__ == "__main__":

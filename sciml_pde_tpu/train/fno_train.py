@@ -25,6 +25,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from pathlib import Path
 from typing import Any, Callable
@@ -33,12 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from sciml_pde_tpu.data.dr import load_dr_aux, load_dr_baseline
 from sciml_pde_tpu.data.windows import epoch_batches, gather_windows
 from sciml_pde_tpu.metrics import nrmse_loss
 from sciml_pde_tpu.models import FNO2d, FNO2dAux, FNO3d, FNO3dAux
-from sciml_pde_tpu.parallel import make_mesh, replicate, shard_batch
+from sciml_pde_tpu.parallel import make_mesh, replicate, replicated_sharding
 from sciml_pde_tpu.train.optim import aux_group_of, make_grouped_optimizer, make_optimizer
 from sciml_pde_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from sciml_pde_tpu.utils.logging import MetricLogger
@@ -472,39 +474,60 @@ def run_training(
         start_epoch = int(restored["meta"]["epoch"])
         best_val = float(restored["meta"]["loss"])
 
+    # Throughput note (PERFORMANCE.md): the jitted step runs in ~0.2 ms but
+    # any per-step host work serializes dispatch (jnp.asarray of the batch
+    # costs ~0.6 ms, eager device-array slicing ~12 ms, and on this backend
+    # a lax.scan over steps is ~13x slower than back-to-back dispatch).
+    # The fast shape is: stage the WHOLE epoch's index batches to device up
+    # front, then dispatch steps with zero host work between them.
+    b_div = batch_size % mesh.shape["data"] == 0
+    idx_sharding = (
+        NamedSharding(mesh, P("data")) if b_div else replicated_sharding(mesh)
+    )
+
     history: list[dict] = []
     gstep = 0
+    best_state = None
+    ckpt_dirty = False
+    last_ckpt_t = 0.0
+    ckpt_min_interval_s = 60.0
     for ep in range(start_epoch, epochs):
-        # keep losses on device during the epoch: a float() per step would
-        # block dispatch and serialize the pipeline
-        losses = []
-        for batch in epoch_batches(train_idx, batch_size, rng):
-            bidx = shard_batch(batch, mesh)
-            if if_aux:
+        dev_batches = [
+            jax.device_put(b, idx_sharding)
+            for b in epoch_batches(train_idx, batch_size, rng)
+        ]
+        # per-step RNG only matters for on-device Lie augmentation; a
+        # per-epoch key keeps the hot loop free of host-side fold_ins
+        ep_key = jax.random.fold_in(key, ep)
+        # accumulate the epoch loss with eager adds (each ~0.1 ms dispatch,
+        # fully pipelined) — never jnp.stack a list of per-step scalars: a
+        # many-operand concatenate takes minutes to compile on this backend
+        loss_acc = None
+        if if_aux:
+            for bidx in dev_batches:
                 params, opt_state, (loss, lp, la), g_norm = step_fn(
-                    params, opt_state, train_w.data, ds.aux_train.data, train_w.grid, bidx
+                    params, opt_state, train_w.data, ds.aux_train.data,
+                    train_w.grid, bidx,
                 )
-            else:
+                loss_acc = loss if loss_acc is None else loss_acc + loss
+        else:
+            for bidx in dev_batches:
                 params, opt_state, loss, g_norm = step_fn(
-                    params, opt_state, train_w.data, train_w.grid, bidx,
-                    jax.random.fold_in(key, gstep),
+                    params, opt_state, train_w.data, train_w.grid, bidx, ep_key,
                 )
-            gstep += 1
-            losses.append(loss)
-            if gstep % log_every == 0:
-                logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
-        nb = len(losses)
-        train_loss_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+                loss_acc = loss if loss_acc is None else loss_acc + loss
+        nb = len(dev_batches)
+        gstep += nb
+        if log_every and (gstep // log_every) != ((gstep - nb) // log_every):
+            logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
+        train_loss_sum = float(loss_acc) if loss_acc is not None else 0.0
 
         if ep % model_update == 0:
             val_sum = 0.0
             vb = 0
             for b in range(0, len(test_idx), batch_size):
                 chunk = test_idx[b : b + batch_size]
-                if if_aux:
-                    v = val_fn(params, test_w.data, test_w.grid, jnp.asarray(chunk))
-                else:
-                    v = val_fn(params, test_w.data, test_w.grid, jnp.asarray(chunk))
+                v = val_fn(params, test_w.data, test_w.grid, jnp.asarray(chunk))
                 val_sum += float(v)
                 vb += 1
             val_loss = val_sum / max(vb, 1)
@@ -513,7 +536,23 @@ def run_training(
             )
             logger.log(gstep, epoch=ep, val_loss=val_loss)
             if val_loss < best_val:
+                # best-val snapshot stays ON DEVICE (a D2D copy is ~ms);
+                # the orbax disk write costs seconds, so it is throttled
+                # and always flushed once after the last epoch — same
+                # best-val semantics as the reference (fno/train.py:319-329)
                 best_val = val_loss
-                save_checkpoint(ckpt_path, params, opt_state, ep, best_val)
+                best_state = (
+                    jax.tree_util.tree_map(jnp.copy, params),
+                    jax.tree_util.tree_map(jnp.copy, opt_state),
+                    ep,
+                )
+                if time.time() - last_ckpt_t > ckpt_min_interval_s:
+                    save_checkpoint(ckpt_path, best_state[0], best_state[1], ep, best_val)
+                    last_ckpt_t = time.time()
+                    ckpt_dirty = False
+                else:
+                    ckpt_dirty = True
 
+    if ckpt_dirty and best_state is not None:
+        save_checkpoint(ckpt_path, best_state[0], best_state[1], best_state[2], best_val)
     return FNOTrainResult(params=params, best_val=best_val, history=history)
