@@ -40,6 +40,24 @@ class Generic1DResult:
     history: list
 
 
+def _make_burgers_model(initial_step=10, in_emb_dim=64, depth=3, heads=4):
+    return OFormer1D(
+        input_channels=initial_step + 1, out_channels=1,
+        in_emb_dim=in_emb_dim, latent_channels=in_emb_dim,
+        heads=heads, depth=depth, out_steps=1,
+    )
+
+
+def _make_darcy_model(in_emb_dim=64, depth=3, heads=4):
+    from sciml_pde_tpu.models.oformer import OFormer2D
+
+    return OFormer2D(
+        input_channels=3, out_channels=1, in_emb_dim=in_emb_dim,
+        latent_channels=in_emb_dim, heads=heads, depth=depth,
+        out_steps=1, propagator_depth=1,
+    )
+
+
 def run_oformer_burgers(
     data: np.ndarray,  # (N, T, X)
     initial_step: int = 10,
@@ -59,11 +77,7 @@ def run_oformer_burgers(
     n, t, nx = data.shape
     pos = np.linspace(0, 1, nx, dtype=np.float32)[None, :, None]
 
-    model = OFormer1D(
-        input_channels=initial_step + 1, out_channels=1,
-        in_emb_dim=in_emb_dim, latent_channels=in_emb_dim,
-        heads=heads, depth=depth, out_steps=1,
-    )
+    model = _make_burgers_model(initial_step, in_emb_dim, depth, heads)
 
     # window index over (traj, t0)
     idx = np.stack(
@@ -132,18 +146,12 @@ def run_oformer_darcy(
     seed: int = 16,
 ) -> Generic1DResult:
     """Steady-state operator a(x) -> u(x) on a 2D grid (train_darcy.py)."""
-    from sciml_pde_tpu.models.oformer import OFormer2D
-
     rng = np.random.default_rng(seed)
     n, nx, ny = a_field.shape
     gx, gy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
     pos = np.stack([gx, gy], -1).reshape(1, nx * ny, 2).astype(np.float32)
 
-    model = OFormer2D(
-        input_channels=3, out_channels=1, in_emb_dim=in_emb_dim,
-        latent_channels=in_emb_dim, heads=heads, depth=depth,
-        out_steps=1, propagator_depth=1,
-    )
+    model = _make_darcy_model(in_emb_dim, depth, heads)
     a_flat = jnp.asarray(a_field.reshape(n, nx * ny, 1))
     u_flat = jnp.asarray(u_field.reshape(n, nx * ny, 1))
     parr = jnp.asarray(pos)
@@ -178,3 +186,63 @@ def run_oformer_darcy(
             )
         history.append({"epoch": ep, "rel_l2": float(loss)})
     return Generic1DResult(params=params, history=history)
+
+
+# ---------------------------------------------------------------- held-out eval
+
+
+def eval_oformer_burgers(
+    params, data: np.ndarray, initial_step: int = 10, batch_size: int = 32,
+    in_emb_dim: int = 64, depth: int = 3, heads: int = 4,
+) -> float:
+    """Mean next-step rel-L2 over all windows of held-out trajectories."""
+    model = _make_burgers_model(initial_step, in_emb_dim, depth, heads)
+    n, t, nx = data.shape
+    pos = jnp.asarray(np.linspace(0, 1, nx, dtype=np.float32)[None, :, None])
+    darr = jnp.asarray(data)
+
+    @jax.jit
+    def batch_rel(b_idx):
+        def one(i, t0):
+            win = jax.lax.dynamic_slice_in_dim(darr[i], t0, initial_step + 1, axis=0)
+            return win[:initial_step].T, win[initial_step][:, None]
+
+        x, y = jax.vmap(one)(b_idx[:, 0], b_idx[:, 1])
+        p = jnp.broadcast_to(pos, (x.shape[0], nx, 1))
+        inp = jnp.concatenate([x, p], axis=-1)
+        return rel_l2(model.apply({"params": params}, inp, p), y)
+
+    idx = np.stack(
+        [np.repeat(np.arange(n), t - initial_step),
+         np.tile(np.arange(t - initial_step), n)], axis=1
+    ).astype(np.int32)
+    tot, nb = 0.0, 0
+    for b in range(0, len(idx) - batch_size + 1, batch_size):
+        tot += float(batch_rel(jnp.asarray(idx[b : b + batch_size])))
+        nb += 1
+    return tot / max(nb, 1)
+
+
+def eval_oformer_darcy(
+    params, a_field: np.ndarray, u_field: np.ndarray, batch_size: int = 8,
+    in_emb_dim: int = 64, depth: int = 3, heads: int = 4,
+) -> float:
+    model = _make_darcy_model(in_emb_dim, depth, heads)
+    n, nx, ny = a_field.shape
+    gx, gy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
+    pos = jnp.asarray(np.stack([gx, gy], -1).reshape(1, nx * ny, 2).astype(np.float32))
+    a_flat = jnp.asarray(a_field.reshape(n, nx * ny, 1))
+    u_flat = jnp.asarray(u_field.reshape(n, nx * ny, 1))
+
+    @jax.jit
+    def batch_rel(rows):
+        p = jnp.broadcast_to(pos, (rows.shape[0], nx * ny, 2))
+        inp = jnp.concatenate([a_flat[rows], p], axis=-1)
+        return rel_l2(model.apply({"params": params}, inp, p), u_flat[rows])
+
+    tot, nb = 0.0, 0
+    for b in range(0, n, batch_size):
+        rows = jnp.asarray(np.arange(b, min(b + batch_size, n)))
+        tot += float(batch_rel(rows))
+        nb += 1
+    return tot / max(nb, 1)
