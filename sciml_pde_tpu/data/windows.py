@@ -15,6 +15,9 @@ permutes to that layout before returning).
 
 from __future__ import annotations
 
+from functools import partial
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -91,6 +94,74 @@ class WindowedTrajectories:
             f"grid={tuple(self.grid.shape)}, initial_step={self.initial_step}, "
             f"rollout={self.rollout}, train={self.train})"
         )
+
+
+def sharded_gather_windows(
+    data: jnp.ndarray, idx: jnp.ndarray, initial_step: int, rollout: int, mesh
+):
+    """``gather_windows`` for a store sharded over the 'data' mesh axis.
+
+    ``data`` is ``(N, T, *spatial, C)`` with trajectories sharded over
+    'data' (see ``parallel.trajectory_sharding``); ``idx`` is ``(B, 2)``
+    batch-sharded rows whose trajectory ids are **shard-local**
+    (0 .. N/n_data - 1) — produced by ``sharded_epoch_batches``.  The
+    gather runs per-shard under ``shard_map`` (no cross-chip traffic);
+    the returned windows are batch-sharded, which is exactly what the
+    jitted train step consumes.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from sciml_pde_tpu.parallel.mesh import AXES
+
+    ndim_rest = data.ndim - 1
+    spec_data = P(AXES.data, *([None] * ndim_rest))
+
+    def local(data_shard, idx_shard):
+        return gather_windows(data_shard, idx_shard, initial_step, rollout)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec_data, P(AXES.data, None)),
+        out_specs=(P(AXES.data), P(AXES.data)),
+    )(data, idx)
+
+
+def sharded_epoch_batches(
+    index: np.ndarray, batch_size: int, n_traj: int, n_shards: int, rng=None
+):
+    """Shuffled batches for a trajectory store sharded over `n_shards`.
+
+    Each batch holds ``batch_size / n_shards`` windows from every shard's
+    trajectory range, ordered shard-major so slicing the batch over the
+    'data' axis lines each slice up with its local store shard; trajectory
+    ids are converted to shard-local.  Requires ``n_traj % n_shards == 0``
+    and ``batch_size % n_shards == 0``.
+    """
+    index = np.asarray(index)
+    if n_traj % n_shards or batch_size % n_shards:
+        raise ValueError(
+            f"n_traj={n_traj} and batch_size={batch_size} must divide n_shards={n_shards}"
+        )
+    per_shard_traj = n_traj // n_shards
+    per_shard_b = batch_size // n_shards
+    shard_of = index[:, 0] // per_shard_traj
+    # per-shard window pools, trajectory ids made local
+    pools = []
+    for s in range(n_shards):
+        rows = index[shard_of == s].copy()
+        rows[:, 0] -= s * per_shard_traj
+        pools.append(rows)
+    n_batches = min(len(p) for p in pools) // per_shard_b
+    orders = [
+        (rng.permutation(len(p)) if rng is not None else np.arange(len(p)))
+        for p in pools
+    ]
+    for b in range(n_batches):
+        parts = [
+            pools[s][orders[s][b * per_shard_b : (b + 1) * per_shard_b]]
+            for s in range(n_shards)
+        ]
+        yield np.concatenate(parts, axis=0)
 
 
 def epoch_batches(index: np.ndarray, batch_size: int, rng=None):

@@ -5,6 +5,7 @@ from sciml_pde_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
     replicate,
+    trajectory_sharding,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "replicated_sharding",
     "shard_batch",
     "replicate",
+    "trajectory_sharding",
 ]

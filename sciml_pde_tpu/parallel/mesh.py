@@ -65,6 +65,16 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def trajectory_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a trajectory store split over the 'data' axis.
+
+    Each data-parallel shard holds ``N / n_data`` whole trajectories —
+    the HBM-residency lever for stores that exceed one chip's memory
+    (each chip holds 1/n of the dataset instead of a full replica).
+    """
+    return NamedSharding(mesh, P(AXES.data))
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a pytree of host arrays with axis 0 sharded over 'data'.
 

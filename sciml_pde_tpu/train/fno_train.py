@@ -63,6 +63,7 @@ def build_baseline_step(
     training_type: str = "single",
     t_train: int | None = None,
     lie_augment: bool = False,
+    train_gather=None,
 ):
     """One jitted optimizer step for the baseline FNO.
 
@@ -70,7 +71,10 @@ def build_baseline_step(
     With ``lie_augment`` the gathered NS window is Lie-transformed on device
     inside the step (reference applies LPSNavierStokes in DataLoader
     workers, fno/utils_2d_ns_baseline_lie.py:161-209).
+    ``train_gather`` overrides the train-store gather (sharded-store path);
+    validation always uses the plain gather on the replicated test store.
     """
+    train_gather = train_gather or gather_windows
 
     def single_loss(params, x, y, grid):
         pred = model.apply({"params": params}, x, grid)
@@ -112,7 +116,7 @@ def build_baseline_step(
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, data, grid, idx, key):
-        x, y = gather_windows(data, idx, initial_step, gather_rollout)
+        x, y = train_gather(data, idx, initial_step, gather_rollout)
         x, y = maybe_augment(x, y, key)
         gb = _broadcast_grid(grid, idx.shape[0])
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
@@ -150,6 +154,7 @@ def build_aux_step(
     num_aux_samples: int,
     auxiliary_weight: float,
     aux_row_map: np.ndarray | None = None,
+    train_gather=None,
 ):
     """One jitted optimizer step for two-head aux joint training.
 
@@ -160,6 +165,7 @@ def build_aux_step(
     pairings like NS (fno_aux/utils_2d_ns.py:82-106).
     """
     row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
+    train_gather = train_gather or gather_windows
 
     def aux_indices(idx):
         p = idx[:, 0]
@@ -180,9 +186,9 @@ def build_aux_step(
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, data_p, data_a, grid, idx):
-        x, y = gather_windows(data_p, idx, initial_step, rollout)
+        x, y = train_gather(data_p, idx, initial_step, rollout)
         a_idx = aux_indices(idx)
-        xa, ya = gather_windows(data_a, a_idx, initial_step, rollout)
+        xa, ya = train_gather(data_a, a_idx, initial_step, rollout)
         gb = _broadcast_grid(grid, idx.shape[0])
         ga = _broadcast_grid(grid, a_idx.shape[0])
         (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -261,6 +267,7 @@ def run_training(
     model_name: str = "fno2d_dr",
     continue_training: bool = False,
     log_every: int = 50,
+    shard_store: bool = False,
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
@@ -371,6 +378,34 @@ def run_training(
 
     train_idx = train_w.window_index()
     test_idx = test_w.window_index()
+
+    # Sharded trajectory store (TPU-native scalability beyond one chip's
+    # HBM): trajectories split over the 'data' axis, per-shard gather via
+    # shard_map, sampler constrained so each device only indexes its local
+    # shard.  Validation keeps the (small) test store replicated.
+    train_gather = None
+    n_shards = mesh.shape["data"]
+    if shard_store:
+        if aux_row_map is not None:
+            raise NotImplementedError(
+                "shard_store with per-file aux row maps (NS pairing) needs "
+                "per-shard maps; use the DR pairing or shard_store=False"
+            )
+        from sciml_pde_tpu.data.windows import sharded_gather_windows
+        from sciml_pde_tpu.parallel import trajectory_sharding
+
+        if train_w.num_trajectories % n_shards or batch_size % n_shards:
+            raise ValueError(
+                f"shard_store needs n_traj ({train_w.num_trajectories}) and "
+                f"batch_size ({batch_size}) divisible by the data axis ({n_shards})"
+            )
+        tsh = trajectory_sharding(mesh)
+        train_w.data = jax.device_put(train_w.data, tsh)
+        if if_aux:
+            ds.aux_train.data = jax.device_put(ds.aux_train.data, tsh)
+
+        def train_gather(data, idx, initial_step_, rollout_):
+            return sharded_gather_windows(data, idx, initial_step_, rollout_, mesh)
     steps_per_epoch = max(len(train_idx) // batch_size, 1)
     total_steps = epochs * steps_per_epoch
 
@@ -390,7 +425,7 @@ def run_training(
         )
         step_fn, val_fn = build_aux_step(
             model, tx, initial_step, rollout_test, num_aux_samples, auxiliary_weight,
-            aux_row_map=aux_row_map,
+            aux_row_map=aux_row_map, train_gather=train_gather,
         )
     else:
         params = model.init(key, x0, g0)["params"]
@@ -399,7 +434,7 @@ def run_training(
         )
         step_fn, val_fn = build_baseline_step(
             model, tx, initial_step, rollout_test, training_type, t_train,
-            lie_augment=lie_augment,
+            lie_augment=lie_augment, train_gather=train_gather,
         )
 
     opt_state = tx.init(params)
@@ -485,6 +520,17 @@ def run_training(
         NamedSharding(mesh, P("data")) if b_div else replicated_sharding(mesh)
     )
 
+    if shard_store:
+        from sciml_pde_tpu.data.windows import sharded_epoch_batches
+
+        def make_batches():
+            return sharded_epoch_batches(
+                train_idx, batch_size, train_w.num_trajectories, n_shards, rng
+            )
+    else:
+        def make_batches():
+            return epoch_batches(train_idx, batch_size, rng)
+
     history: list[dict] = []
     gstep = 0
     best_state = None
@@ -493,8 +539,7 @@ def run_training(
     ckpt_min_interval_s = 60.0
     for ep in range(start_epoch, epochs):
         dev_batches = [
-            jax.device_put(b, idx_sharding)
-            for b in epoch_batches(train_idx, batch_size, rng)
+            jax.device_put(b, idx_sharding) for b in make_batches()
         ]
         # per-step RNG only matters for on-device Lie augmentation; a
         # per-epoch key keeps the hot loop free of host-side fold_ins
