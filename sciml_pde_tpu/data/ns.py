@@ -98,19 +98,23 @@ def load_ns_baseline(
     rollout_test: int = 1,
     sim_name: str = "ns_incom_inhom_2d_256",
     test_range=(250, 275),
+    to_device: bool = True,
 ) -> NSBaselineDataset:
+    """``to_device=False`` keeps the train store in host RAM for the
+    host-streaming pipeline (stores beyond one chip's HBM); the test
+    store is small (one window per trajectory) and stays on device."""
     base = Path(base_path)
     train, _ = _load_primary(base, sim_name, train_subsample)
     test = _load_test(base, sim_name, test_range)
     grid = jnp.asarray(unit_grid(train.shape[2], train.shape[3]))
     return NSBaselineDataset(
         train=WindowedTrajectories(
-            jnp.asarray(train), grid,
-            initial_step=initial_step, rollout=rollout_test, train=True,
+            train, grid, initial_step=initial_step, rollout=rollout_test,
+            train=True, to_device=to_device,
         ),
         test=WindowedTrajectories(
-            jnp.asarray(test), grid,
-            initial_step=initial_step, rollout=rollout_test, train=False,
+            jnp.asarray(test[:, : initial_step + rollout_test] if not to_device else test),
+            grid, initial_step=initial_step, rollout=rollout_test, train=False,
         ),
     )
 
@@ -127,6 +131,7 @@ def load_ns_aux(
     aux_name: str = "ns_aux_2d_256",
     if_downsample: bool = False,
     test_range=(250, 275),
+    to_device: bool = True,
 ) -> NSAuxDataset:
     """Aux-paired NS dataset.
 
@@ -165,22 +170,31 @@ def load_ns_aux(
         import jax
 
         target = (aux.shape[0], aux.shape[1], *primary.shape[2:4], aux.shape[-1])
-        aux_j = jax.image.resize(jnp.asarray(aux), target, method="linear")
+        if to_device:
+            aux_j = jax.image.resize(jnp.asarray(aux), target, method="linear")
+        else:
+            # host-resident resize (chunked so peak memory stays bounded)
+            aux_j = np.concatenate([
+                np.asarray(jax.image.resize(jnp.asarray(aux[i : i + 1]),
+                                            (1,) + target[1:], method="linear"))
+                for i in range(aux.shape[0])
+            ])
     else:
-        aux_j = jnp.asarray(aux)
+        aux_j = jnp.asarray(aux) if to_device else aux
 
     grid = jnp.asarray(unit_grid(primary.shape[2], primary.shape[3]))
     return NSAuxDataset(
         primary_train=WindowedTrajectories(
-            jnp.asarray(primary), grid,
-            initial_step=initial_step, rollout=rollout_test, train=True,
+            primary, grid, initial_step=initial_step, rollout=rollout_test,
+            train=True, to_device=to_device,
         ),
         primary_test=WindowedTrajectories(
-            jnp.asarray(test), grid,
-            initial_step=initial_step, rollout=rollout_test, train=False,
+            jnp.asarray(test[:, : initial_step + rollout_test] if not to_device else test),
+            grid, initial_step=initial_step, rollout=rollout_test, train=False,
         ),
         aux_train=WindowedTrajectories(
-            aux_j, grid, initial_step=initial_step, rollout=rollout_test, train=True,
+            aux_j, grid, initial_step=initial_step, rollout=rollout_test,
+            train=True, to_device=to_device,
         ),
         aux_row_map=row_map,
     )

@@ -71,10 +71,13 @@ class HostWindowLoader:
             return np.tile(order, reps)[: self.batch_size]
         return order
 
-    def _batches(self):
+    def _epoch_rows(self):
         order = self._epoch_order()
         for b in range(len(self)):
-            rows = self.index[order[b * self.batch_size : (b + 1) * self.batch_size]]
+            yield self.index[order[b * self.batch_size : (b + 1) * self.batch_size]]
+
+    def _batches(self):
+        for rows in self._epoch_rows():
             yield _gather_np(self.data, rows, self.initial_step, self.rollout)
 
     def __iter__(self):
@@ -99,3 +102,37 @@ class HostWindowLoader:
                 break
             yield item
         t.join()
+
+
+class AuxHostWindowLoader(HostWindowLoader):
+    """Host-streaming loader for aux joint training.
+
+    Yields ``(x, y, xa, ya)`` batches: primary windows plus their paired
+    aux windows at the same t0, gathered from a second host-resident
+    store.  Pairing follows the trainer's semantics
+    (``train/fno_train.build_aux_step``): ``row_map`` ((Np, nA) int32)
+    when given (NS per-file pairing), else the DR scheme
+    ``p*num_aux + (0..num_aux-1)``.
+    """
+
+    def __init__(self, data, aux_data, index, initial_step: int, rollout: int,
+                 batch_size: int, num_aux: int, row_map=None, **kw):
+        super().__init__(data, index, initial_step, rollout, batch_size, **kw)
+        self.aux_data = np.asarray(aux_data)
+        self.num_aux = int(num_aux)
+        self.row_map = None if row_map is None else np.asarray(row_map, np.int64)
+
+    def _batches(self):
+        for rows in self._epoch_rows():
+            x, y = _gather_np(self.data, rows, self.initial_step, self.rollout)
+            p, t0 = rows[:, 0], rows[:, 1]
+            if self.row_map is None:
+                offs = np.arange(self.num_aux)
+                ap = (p[:, None] * self.num_aux + offs[None, :]).reshape(-1)
+            else:
+                ap = self.row_map[p].reshape(-1)
+            a_rows = np.stack(
+                [ap, np.repeat(t0, self.num_aux)], axis=1
+            ).astype(np.int32)
+            xa, ya = _gather_np(self.aux_data, a_rows, self.initial_step, self.rollout)
+            yield x, y, xa, ya

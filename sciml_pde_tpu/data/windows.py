@@ -58,8 +58,13 @@ class WindowedTrajectories:
     """
 
     def __init__(self, data, grid, *, initial_step: int, rollout: int = 1,
-                 train: bool = True):
-        self.data = data if isinstance(data, jnp.ndarray) else jnp.asarray(data)
+                 train: bool = True, to_device: bool = True):
+        # to_device=False keeps the store in host RAM (numpy) for the
+        # host-streaming pipeline (data/stream.py) — stores beyond HBM
+        if to_device:
+            self.data = data if isinstance(data, jnp.ndarray) else jnp.asarray(data)
+        else:
+            self.data = np.asarray(data)
         self.grid = grid if isinstance(grid, jnp.ndarray) else jnp.asarray(grid)
         self.initial_step = int(initial_step)
         self.rollout = int(rollout)

@@ -40,7 +40,7 @@ from sciml_pde_tpu.data.dr import load_dr_aux, load_dr_baseline
 from sciml_pde_tpu.data.windows import epoch_batches, gather_windows
 from sciml_pde_tpu.metrics import nrmse_loss
 from sciml_pde_tpu.models import FNO2d, FNO2dAux, FNO3d, FNO3dAux
-from sciml_pde_tpu.parallel import make_mesh, replicate, replicated_sharding
+from sciml_pde_tpu.parallel import make_mesh, replicate, replicated_sharding, shard_batch
 from sciml_pde_tpu.train.optim import aux_group_of, make_grouped_optimizer, make_optimizer
 from sciml_pde_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from sciml_pde_tpu.utils.logging import MetricLogger
@@ -199,6 +199,22 @@ def build_aux_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, (loss, lp, la), g_norm
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_xy(params, opt_state, x, y, xa, ya, grid):
+        """Host-streaming variant: windows arrive pre-gathered
+        (data/stream.AuxHostWindowLoader)."""
+        gb = _broadcast_grid(grid, x.shape[0])
+        ga = _broadcast_grid(grid, xa.shape[0])
+        (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, y, xa, ya, gb, ga
+        )
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss, lp, la), g_norm
+
+    step.xy = step_xy
+
     @jax.jit
     def val_primary_loss(params, data_p, grid, idx):
         # validation scores the primary head only (fno_train_aux.py:400-410);
@@ -268,6 +284,7 @@ def run_training(
     continue_training: bool = False,
     log_every: int = 50,
     shard_store: bool = False,
+    host_stream: bool = False,
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
@@ -276,6 +293,12 @@ def run_training(
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
     logger = MetricLogger(run_dir, name=model_name, echo_every=1)
+
+    if host_stream and shard_store:
+        raise ValueError("host_stream and shard_store are mutually exclusive")
+    if host_stream and dataset_family != "ns":
+        raise NotImplementedError("host_stream is wired for the NS family "
+                                  "(the only store that exceeds HBM)")
 
     aux_row_map = None
     if if_aux:
@@ -287,6 +310,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
+                to_device=not host_stream,
             )
             aux_row_map = ds.aux_row_map
         elif dataset_family == "ns3d":
@@ -313,6 +337,7 @@ def run_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 sim_name=sim_name, test_range=test_range,
+                to_device=not host_stream,
             )
             train_w, test_w = ds.train, ds.test
         elif dataset_family == "ns3d":
@@ -531,6 +556,22 @@ def run_training(
         def make_batches():
             return epoch_batches(train_idx, batch_size, rng)
 
+    stream_loader = None
+    if host_stream:
+        from sciml_pde_tpu.data.stream import AuxHostWindowLoader, HostWindowLoader
+
+        if if_aux:
+            stream_loader = AuxHostWindowLoader(
+                train_w.data, ds.aux_train.data, train_idx, initial_step,
+                rollout_test, batch_size, num_aux_samples, row_map=aux_row_map,
+                seed=seed,
+            )
+        else:
+            stream_loader = HostWindowLoader(
+                train_w.data, train_idx, initial_step, rollout_test,
+                batch_size, seed=seed,
+            )
+
     history: list[dict] = []
     gstep = 0
     best_state = None
@@ -538,9 +579,6 @@ def run_training(
     last_ckpt_t = 0.0
     ckpt_min_interval_s = 60.0
     for ep in range(start_epoch, epochs):
-        dev_batches = [
-            jax.device_put(b, idx_sharding) for b in make_batches()
-        ]
         # per-step RNG only matters for on-device Lie augmentation; a
         # per-epoch key keeps the hot loop free of host-side fold_ins
         ep_key = jax.random.fold_in(key, ep)
@@ -548,20 +586,39 @@ def run_training(
         # fully pipelined) — never jnp.stack a list of per-step scalars: a
         # many-operand concatenate takes minutes to compile on this backend
         loss_acc = None
-        if if_aux:
+        nb = 0
+        if host_stream:
+            for batch in stream_loader:
+                batch = shard_batch(batch, mesh)
+                if if_aux:
+                    x, y, xa, ya = batch
+                    params, opt_state, (loss, lp, la), g_norm = step_fn.xy(
+                        params, opt_state, x, y, xa, ya, train_w.grid
+                    )
+                else:
+                    x, y = batch
+                    params, opt_state, loss, g_norm = step_fn.xy(
+                        params, opt_state, x, y, train_w.grid, ep_key
+                    )
+                loss_acc = loss if loss_acc is None else loss_acc + loss
+                nb += 1
+        elif if_aux:
+            dev_batches = [jax.device_put(b, idx_sharding) for b in make_batches()]
             for bidx in dev_batches:
                 params, opt_state, (loss, lp, la), g_norm = step_fn(
                     params, opt_state, train_w.data, ds.aux_train.data,
                     train_w.grid, bidx,
                 )
                 loss_acc = loss if loss_acc is None else loss_acc + loss
+            nb = len(dev_batches)
         else:
+            dev_batches = [jax.device_put(b, idx_sharding) for b in make_batches()]
             for bidx in dev_batches:
                 params, opt_state, loss, g_norm = step_fn(
                     params, opt_state, train_w.data, train_w.grid, bidx, ep_key,
                 )
                 loss_acc = loss if loss_acc is None else loss_acc + loss
-        nb = len(dev_batches)
+            nb = len(dev_batches)
         gstep += nb
         if log_every and (gstep // log_every) != ((gstep - nb) // log_every):
             logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
