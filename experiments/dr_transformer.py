@@ -40,6 +40,8 @@ def main(argv=None):
     p.add_argument("--aux-weight", type=float, default=0.5)
     p.add_argument("--warmup-frac", type=float, default=0.05)
     p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
+    p.add_argument("--drop-path", type=float, default=0.0,
+                   help="reference full-size config uses 0.10")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
     p.add_argument("--out", default="runs/dr_transformer")
@@ -66,6 +68,7 @@ def main(argv=None):
         decoder_num_heads=a.decoder_heads,
         initial_step=10, batch_size=a.batch_size, epochs=a.epochs,
         grad_accum=a.grad_accum, bf16=(a.precision == "bf16"),
+        drop_path_rate=a.drop_path,
         learning_rate_share=a.lr, learning_rate_heads=a.lr,
         warmup_steps=max(int(a.warmup_frac * a.epochs * steps_per_epoch), 1),
         auxiliary_weight=a.aux_weight,

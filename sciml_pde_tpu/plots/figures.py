@@ -111,3 +111,29 @@ def data_efficiency_figure(out_path: str | Path, results: dict[str, list[float]]
     fig.savefig(out_path)
     plt.close(fig)
     return Path(out_path)
+
+
+def field_animation(out_path: str | Path, frames: np.ndarray, channel: int = 0,
+                    fps: int = 10, cmap: str = "viridis", title: str = ""):
+    """Animated gif of a trajectory (reference data_gen/src/plots.py
+    ``phi_plots``/gif writing): ``frames`` is (T, X, Y[, C]); one imshow
+    per frame, shared color scale, written via PillowWriter."""
+    from matplotlib import animation
+
+    frames = np.asarray(frames)
+    if frames.ndim == 4:
+        frames = frames[..., channel]
+    vmin, vmax = float(frames.min()), float(frames.max())
+    fig, ax = plt.subplots(figsize=(4, 4))
+    im = ax.imshow(frames[0].T, origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
+    ax.set_title(title)
+    ax.axis("off")
+
+    def update(i):
+        im.set_data(frames[i].T)
+        return (im,)
+
+    ani = animation.FuncAnimation(fig, update, frames=len(frames), blit=True)
+    ani.save(str(out_path), writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return Path(out_path)

@@ -65,3 +65,13 @@ def test_sweep_runner(tmp_path):
     assert all(np.isfinite(r["best_val"]) for r in data)
     # different seeds give different training orders but both finite
     assert data[0]["seed"] == 16 and data[1]["seed"] == 99
+
+
+def test_field_animation(tmp_path):
+    import numpy as np
+
+    from sciml_pde_tpu.plots.figures import field_animation
+
+    frames = np.random.default_rng(0).normal(size=(3, 8, 8, 2)).astype(np.float32)
+    out = field_animation(tmp_path / "traj.gif", frames, channel=1, fps=2)
+    assert out.exists() and out.stat().st_size > 0
