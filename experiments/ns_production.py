@@ -1,0 +1,131 @@
+"""Production-shape 2D NS experiment: 256^2, 1000 frames, reference physics.
+
+The reference's production NS datasets are 256^2 x 1000-frame trajectories
+(4/batch per file), dt 5e-5, frame_int 100, nu 0.05 (`data_gen/configs/
+ns_incomp.yaml:10-58`); training follows config_ns (initial_step 10,
+batch 2, 20 epochs, cosine).  This driver generates a basic_dsN-scale
+family of those files on device (full-physics primaries + convection-only
+aux + test files at index 250+), trains baseline and aux FNO, and runs
+the rollout study.
+
+HBM budget: ds2 (2 primary + 6 aux + tests) fits on one v5e chip;
+``--host-stream`` switches to the host-RAM streaming pipeline for larger
+presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from sciml_pde_tpu.sim.gen_ns_incomp import VARIANTS, generate_ns_file
+from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig
+
+
+def make_cfg(grid: int, frames: int, frame_int: int, n_batch: int, variant: str,
+             dt: float, nu: float) -> NSIncompConfig:
+    kw = dict(VARIANTS[variant])
+    nu = kw.pop("nu", nu)
+    return NSIncompConfig(
+        grid_size=(grid, grid), nu=nu, dt=dt, n_steps=frames * frame_int,
+        frame_int=frame_int, n_batch=n_batch, **kw,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--folder", default="data/ns_production")
+    p.add_argument("--grid", type=int, default=256)
+    p.add_argument("--frames", type=int, default=1000)
+    p.add_argument("--frame-int", type=int, default=100)
+    p.add_argument("--dt", type=float, default=5e-5)
+    p.add_argument("--nu", type=float, default=0.05)
+    p.add_argument("--n-batch", type=int, default=4)
+    p.add_argument("--n-primary", type=int, default=2)
+    p.add_argument("--n-aux-per", type=int, default=3)
+    p.add_argument("--n-test", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--host-stream", action="store_true")
+    p.add_argument("--skip-gen", action="store_true")
+    p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--out", default="runs/ns_production")
+    a = p.parse_args(argv)
+
+    folder = Path(a.folder)
+    if not a.skip_gen:
+        folder.mkdir(parents=True, exist_ok=True)
+        cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "full", a.dt, a.nu)
+        aux_cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "convection",
+                           a.dt, a.nu)
+        t0 = time.time()
+        for i in range(a.n_primary):
+            f = folder / f"ns_incom_inhom_2d_256-{i}.h5"
+            if not f.exists():
+                generate_ns_file(f, i, cfg)
+                print(f"primary {i}: {time.time()-t0:.0f}s total", flush=True)
+        for i in range(a.n_primary * a.n_aux_per):
+            f = folder / f"ns_aux_2d_256-{i}.h5"
+            if not f.exists():
+                generate_ns_file(f, 1000 + i, aux_cfg)
+                print(f"aux {i}: {time.time()-t0:.0f}s total", flush=True)
+        for i in range(250, 250 + a.n_test):
+            f = folder / f"ns_incom_inhom_2d_256-{i}.h5"
+            if not f.exists():
+                generate_ns_file(f, i, cfg)
+        print(f"generation done: {time.time()-t0:.0f}s", flush=True)
+
+    from sciml_pde_tpu.data.ns import load_ns_baseline
+    from sciml_pde_tpu.eval.rollout_experiment import rollout_study
+    from sciml_pde_tpu.models import FNO2d, FNO2dAux
+    from sciml_pde_tpu.train.fno_train import run_training
+
+    out = Path(a.out)
+    out.mkdir(parents=True, exist_ok=True)
+    summary_path = out / "summary.json"
+    results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
+    for variant in a.variants:
+        t0 = time.time()
+        res = run_training(
+            base_path=str(folder), aux_path=str(folder), dataset_family="ns",
+            if_aux=(variant == "aux"),
+            train_subsample=(a.n_primary, a.n_primary, a.n_primary * a.n_aux_per),
+            num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
+            num_channels=3, modes=12, width=20, initial_step=10,
+            batch_size=a.batch_size, epochs=a.epochs, host_stream=a.host_stream,
+            run_dir=str(out), model_name=f"ns_prod_{variant}", log_every=500,
+        )
+        train_s = time.time() - t0
+        print(f"{variant}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
+
+        ds = load_ns_baseline(str(folder), train_subsample=1, initial_step=10,
+                              rollout_test=5, test_range=(250, 250 + a.n_test))
+        if variant == "aux":
+            model = FNO2dAux(num_channels=3, modes1=12, modes2=12, width=20,
+                             initial_step=10)
+
+            def apply_fn(pp, x, g):
+                o, _ = model.apply({"params": pp}, x, g, x, g)
+                return o
+        else:
+            model = FNO2d(num_channels=3, modes1=12, modes2=12, width=20,
+                          initial_step=10)
+
+            def apply_fn(pp, x, g):
+                return model.apply({"params": pp}, x, g)
+
+        study = rollout_study(apply_fn, res.params, ds.test, horizons=(1, 2, 3, 4, 5),
+                              batch_size=4, out_path=out / f"rollout_{variant}.json")
+        results[variant] = {
+            "best_val": float(res.best_val),
+            "train_seconds": train_s,
+            "rollout_nrmse": [study[k]["nRMSE"] for k in sorted(study)],
+        }
+        summary_path.write_text(json.dumps(results, indent=1))
+    print(json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
