@@ -314,3 +314,50 @@ def run_airfoil_training(
                 logger.log(gstep, l1=float(loss), epoch=ep)
         history.append({"epoch": ep, "l1": float(loss)})
     return PointsetResult(params=params, history=history)
+
+
+def evaluate_airfoil(
+    params, data: dict, *, time_window: int = 4, forward_steps: int = 2,
+    emb_dim: int = 48, latent_channels: int = 48, depth: int = 2,
+    batch_size: int = 8,
+):
+    """Held-out L1 and rel-L2 of the ST point-set operator over all windows."""
+    from sciml_pde_tpu.models.oformer import OFormerIrregST2D
+
+    fields = jnp.asarray(data["fields"])
+    coords = jnp.asarray(data["coords"])
+    ntype = jnp.asarray(data["node_type"])
+    n, t, npts, c = fields.shape
+    model = OFormerIrregST2D(
+        input_channels=c + 2, out_channels=c, time_window=time_window,
+        emb_dim=emb_dim, latent_channels=latent_channels, depth=depth,
+    )
+    idx = np.stack(
+        [np.repeat(np.arange(n), t - time_window - forward_steps + 1),
+         np.tile(np.arange(t - time_window - forward_steps + 1), n)], 1
+    ).astype(np.int32)
+
+    @jax.jit
+    def batch_metrics(rows):
+        def one(s, t0):
+            win = jax.lax.dynamic_slice_in_dim(
+                fields[s], t0, time_window + forward_steps, 0
+            )
+            return win[:time_window], win[time_window:]
+
+        x, y = jax.vmap(one)(rows[:, 0], rows[:, 1])
+        p = coords[rows[:, 0]]
+        pb = jnp.broadcast_to(p[:, None], x.shape[:3] + (2,))
+        inp = jnp.concatenate([x, pb], -1)
+        pred = model.apply({"params": params}, inp, ntype[rows[:, 0]], p, forward_steps)
+        l1 = jnp.mean(jnp.abs(pred - y))
+        rel = jnp.linalg.norm(pred - y) / (jnp.linalg.norm(y) + 1e-12)
+        return l1, rel
+
+    l1s, rels, nb = 0.0, 0.0, 0
+    for b in range(0, len(idx) - batch_size + 1, batch_size):
+        l1, rel = batch_metrics(jnp.asarray(idx[b : b + batch_size]))
+        l1s += float(l1)
+        rels += float(rel)
+        nb += 1
+    return {"l1": l1s / max(nb, 1), "rel_l2": rels / max(nb, 1)}
