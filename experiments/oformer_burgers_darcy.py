@@ -77,7 +77,8 @@ def main(argv=None):
                                 run_dir=str(out))
         from sciml_pde_tpu.comparisons.oformer_generic import eval_oformer_darcy
 
-        test_rel = eval_oformer_darcy(res.params, af[-n_test:], uf[-n_test:])
+        test_rel = eval_oformer_darcy(res.params, af[-n_test:], uf[-n_test:],
+                                      norm_stats=res.norm_stats)
         results["darcy"] = {
             "train_rel_l2": res.history[-1]["rel_l2"],
             "test_rel_l2": float(test_rel),

@@ -38,6 +38,7 @@ def load_pdebench_1d(path: str | Path, field_keys=("tensor", "u", "data")) -> np
 class Generic1DResult:
     params: object
     history: list
+    norm_stats: tuple | None = None
 
 
 def _make_burgers_model(initial_step=10, in_emb_dim=64, depth=3, heads=4):
@@ -145,15 +146,22 @@ def run_oformer_darcy(
     run_dir: str = "runs/oformer_darcy",
     seed: int = 16,
 ) -> Generic1DResult:
-    """Steady-state operator a(x) -> u(x) on a 2D grid (train_darcy.py)."""
+    """Steady-state operator a(x) -> u(x) on a 2D grid (train_darcy.py).
+
+    Inputs are standardised with train-set statistics (the reference uses
+    sklearn StandardScaler, train_darcy.py); the stats ride along in
+    ``result.norm_stats`` for held-out evaluation.
+    """
     rng = np.random.default_rng(seed)
     n, nx, ny = a_field.shape
     gx, gy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
     pos = np.stack([gx, gy], -1).reshape(1, nx * ny, 2).astype(np.float32)
 
     model = _make_darcy_model(in_emb_dim, depth, heads)
-    a_flat = jnp.asarray(a_field.reshape(n, nx * ny, 1))
-    u_flat = jnp.asarray(u_field.reshape(n, nx * ny, 1))
+    a_mean, a_std = float(a_field.mean()), float(a_field.std()) + 1e-12
+    u_scale = float(np.abs(u_field).mean()) + 1e-12
+    a_flat = jnp.asarray((a_field.reshape(n, nx * ny, 1) - a_mean) / a_std)
+    u_flat = jnp.asarray(u_field.reshape(n, nx * ny, 1) / u_scale)
     parr = jnp.asarray(pos)
 
     p0 = jnp.broadcast_to(parr, (1, nx * ny, 2))
@@ -185,7 +193,8 @@ def run_oformer_darcy(
                 params, opt_state, jnp.asarray(order[b : b + batch_size])
             )
         history.append({"epoch": ep, "rel_l2": float(loss)})
-    return Generic1DResult(params=params, history=history)
+    return Generic1DResult(params=params, history=history,
+                           norm_stats=(a_mean, a_std, u_scale))
 
 
 # ---------------------------------------------------------------- held-out eval
@@ -226,13 +235,17 @@ def eval_oformer_burgers(
 def eval_oformer_darcy(
     params, a_field: np.ndarray, u_field: np.ndarray, batch_size: int = 8,
     in_emb_dim: int = 64, depth: int = 3, heads: int = 4,
+    norm_stats: tuple | None = None,
 ) -> float:
     model = _make_darcy_model(in_emb_dim, depth, heads)
     n, nx, ny = a_field.shape
     gx, gy = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny), indexing="ij")
     pos = jnp.asarray(np.stack([gx, gy], -1).reshape(1, nx * ny, 2).astype(np.float32))
-    a_flat = jnp.asarray(a_field.reshape(n, nx * ny, 1))
-    u_flat = jnp.asarray(u_field.reshape(n, nx * ny, 1))
+    a_mean, a_std, u_scale = norm_stats if norm_stats else (0.0, 1.0, 1.0)
+    a_flat = jnp.asarray((a_field.reshape(n, nx * ny, 1) - a_mean) / a_std)
+    # rel-L2 is invariant to the constant u scale, but the model predicts in
+    # scaled units, so the target must be scaled the same way
+    u_flat = jnp.asarray(u_field.reshape(n, nx * ny, 1) / u_scale)
 
     @jax.jit
     def batch_rel(rows):
