@@ -18,6 +18,7 @@ through the trunk in the same program as the primary.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from pathlib import Path
 from typing import Any
@@ -328,40 +329,61 @@ def run_transformer_training(
 
     history: list[dict] = []
     gstep = 0
+    best_state = None
+    ckpt_dirty = False
+    last_ckpt_t = 0.0
+    ckpt_min_interval_s = 120.0
     for ep in range(start_epoch, epochs):
-        losses = []  # device scalars; syncing per step would stall dispatch
-        for batch in epoch_batches(train_idx, batch_size, rng):
-            bidx = shard_batch(batch, mesh)
-            if if_aux:
+        # stage the epoch's batches on device up front, accumulate the loss
+        # with eager adds — same dispatch-pipeline rules as the FNO trainer
+        dev_batches = [
+            shard_batch(b, mesh) for b in epoch_batches(train_idx, batch_size, rng)
+        ]
+        loss_acc = None
+        if if_aux:
+            for bidx in dev_batches:
                 params, opt_state, (loss, lp, la), g_norm = step_fn(
                     params, opt_state, train_w.data, ds.aux_train.data, bidx
                 )
-            else:
+                loss_acc = loss if loss_acc is None else loss_acc + loss
+        else:
+            for bidx in dev_batches:
                 params, opt_state, loss, g_norm = step_fn(
                     params, opt_state, train_w.data, bidx
                 )
-            gstep += 1
-            losses.append(loss)
-            if gstep % log_every == 0:
-                logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
-        nb = len(losses)
-        tr_sum = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+                loss_acc = loss if loss_acc is None else loss_acc + loss
+        nb = len(dev_batches)
+        gstep += nb
+        if log_every and (gstep // log_every) != ((gstep - nb) // log_every):
+            logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
+        tr_sum = float(loss_acc) if loss_acc is not None else 0.0
 
         if ep % model_update == 0:
             val_sum, vb = 0.0, 0
             for b in range(0, len(test_idx), batch_size):
                 chunk = jnp.asarray(test_idx[b : b + batch_size])
-                if if_aux:
-                    v = val_fn(params, test_w.data, chunk)
-                else:
-                    v = val_fn(params, test_w.data, chunk)
+                v = val_fn(params, test_w.data, chunk)
                 val_sum += float(v)
                 vb += 1
             val_loss = val_sum / max(vb, 1)
             history.append({"epoch": ep, "train_loss": tr_sum / max(nb, 1), "val_loss": val_loss})
             logger.log(gstep, epoch=ep, val_loss=val_loss)
             if val_loss < best_val:
+                # on-device best snapshot; the (multi-GB at full size) orbax
+                # write is throttled and flushed after the last epoch
                 best_val = val_loss
-                save_checkpoint(ckpt_path, params, opt_state, ep, best_val)
+                best_state = (
+                    jax.tree_util.tree_map(jnp.copy, params),
+                    jax.tree_util.tree_map(jnp.copy, opt_state),
+                    ep,
+                )
+                if time.time() - last_ckpt_t > ckpt_min_interval_s:
+                    save_checkpoint(ckpt_path, best_state[0], best_state[1], ep, best_val)
+                    last_ckpt_t = time.time()
+                    ckpt_dirty = False
+                else:
+                    ckpt_dirty = True
 
+    if ckpt_dirty and best_state is not None:
+        save_checkpoint(ckpt_path, best_state[0], best_state[1], best_state[2], best_val)
     return TransformerTrainResult(params=params, best_val=best_val, history=history)
