@@ -26,6 +26,8 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--out", default="runs/dr_parity")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--continue-training", action="store_true",
+                   help="resume from the run_dir checkpoint (tunnel-wedge recovery)")
     a = p.parse_args(argv)
 
     out = Path(a.out)
@@ -36,7 +38,7 @@ def main(argv=None):
         cfg.update(
             base_path=a.data, aux_path=a.data, epochs=a.epochs,
             run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}",
-            log_every=500,
+            log_every=500, continue_training=a.continue_training,
         )
         if variant == "baseline" and cfg["train_subsample"][0] > 90:
             # the primary file holds 90 train seeds; ds128 extends the
