@@ -44,6 +44,8 @@ def main(argv=None):
                    help="reference full-size config uses 0.10")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
+    p.add_argument("--continue-training", action="store_true",
+                   help="resume from the run_dir checkpoint (tunnel-wedge recovery)")
     p.add_argument("--out", default="runs/dr_transformer")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
     a = p.parse_args(argv)
@@ -73,6 +75,7 @@ def main(argv=None):
         warmup_steps=max(int(a.warmup_frac * a.epochs * steps_per_epoch), 1),
         auxiliary_weight=a.aux_weight,
         seed=a.seed,
+        continue_training=a.continue_training,
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
