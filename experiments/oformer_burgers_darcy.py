@@ -39,7 +39,8 @@ def main(argv=None):
 
     out = Path(a.out)
     out.mkdir(parents=True, exist_ok=True)
-    results = {}
+    summary_path = out / "summary.json"
+    results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
 
     if "burgers" in a.cases:
         bpath = Path(a.data) / f"1D_Burgers_Sols_Nu0.01_{a.burgers_nx}.h5"
@@ -86,7 +87,7 @@ def main(argv=None):
         }
         print("darcy:", results["darcy"], flush=True)
 
-    (out / "summary.json").write_text(json.dumps(results, indent=1))
+    summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1), flush=True)
 
 
