@@ -53,6 +53,8 @@ def _pos_for(grid, b):
 class ComparisonResult:
     params: object
     history: list
+    model: object = None
+    test_w: object = None
 
 
 def run_comparison_training(
@@ -144,7 +146,7 @@ def run_comparison_training(
             if gstep % log_every == 0:
                 logger.log(gstep, train_rel_l2=float(loss), epoch=ep)
         history.append({"epoch": ep, "train_rel_l2": float(loss)})
-    return ComparisonResult(params=params, history=history)
+    return ComparisonResult(params=params, history=history, model=model, test_w=test_w)
 
 
 def evaluate_comparison(
