@@ -46,6 +46,8 @@ def main(argv=None):
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
     p.add_argument("--continue-training", action="store_true",
                    help="resume from the run_dir checkpoint (tunnel-wedge recovery)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training; restore the best-val checkpoint and run the rollout study")
     p.add_argument("--out", default="runs/dr_transformer")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
     a = p.parse_args(argv)
@@ -82,14 +84,23 @@ def main(argv=None):
     for variant in a.variants:
         key = f"{a.dataset}_{variant}{('_' + a.tag) if a.tag else ''}"
         t0 = time.time()
-        res = run_transformer_training(
-            base_path=a.data, aux_path=a.data, dataset_family="dr",
-            if_aux=(variant == "aux"), train_subsample=tuple(train_subsample),
-            num_aux_samples=3, run_dir=str(out),
-            model_name=f"vmae_dr_{key}", log_every=500, **kw,
-        )
-        train_s = time.time() - t0
-        print(f"{key}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
+        if a.eval_only:
+            from sciml_pde_tpu.utils.checkpoint import restore_params
+
+            params, best_val = restore_params(out / f"vmae_dr_{key}_ckpt")
+            res = None
+            train_s = 0.0
+            print(f"{key}: restored ckpt best_val={best_val:.6f}", flush=True)
+        else:
+            res = run_transformer_training(
+                base_path=a.data, aux_path=a.data, dataset_family="dr",
+                if_aux=(variant == "aux"), train_subsample=tuple(train_subsample),
+                num_aux_samples=3, run_dir=str(out),
+                model_name=f"vmae_dr_{key}", log_every=500, **kw,
+            )
+            params, best_val = res.params, res.best_val
+            train_s = time.time() - t0
+            print(f"{key}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
 
         ds = load_dr_baseline(a.data, train_subsample=1, initial_step=10, rollout_test=5)
         mk = dict(
@@ -116,13 +127,13 @@ def main(argv=None):
         study = {}
         for k in (1, 2, 3, 4, 5):
             m = evaluate_rollout(apply_fn, ds.test, rollout_test=k, batch_size=5,
-                                 params=res.params)
+                                 params=params)
             study[k] = m["nRMSE"]
             print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
         results[key] = {
-            "best_val": float(res.best_val),
+            "best_val": float(best_val),
             "train_seconds": train_s,
-            "val_history": [h.get("val_loss") for h in res.history],
+            "val_history": [h.get("val_loss") for h in res.history] if res else None,
             "rollout_nrmse": [study[k] for k in sorted(study)],
         }
         summary_path.write_text(json.dumps(results, indent=1))

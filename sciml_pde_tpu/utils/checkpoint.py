@@ -39,6 +39,15 @@ def restore_checkpoint(path: str | Path, like: dict[str, Any]) -> dict[str, Any]
         return ckptr.restore(path, template)
 
 
+def restore_params(path: str | Path) -> tuple[Any, float]:
+    """Template-free restore of just (params, best-val loss) — for
+    eval-only paths where the optimizer state is irrelevant."""
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        tree = ckptr.restore(path)
+    return tree["params"], float(tree["meta"]["loss"])
+
+
 def load_partial_params(params: dict, pretrained: dict, verbose: bool = True) -> dict:
     """Overlay pretrained weights where the path exists AND the shape
     matches; keep fresh init elsewhere — the reference's VideoMAE
