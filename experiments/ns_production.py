@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--host-stream", action="store_true")
+    p.add_argument("--frames-per-chunk", type=int, default=100,
+                   help="frames per jit call during generation (0 = single scan; "
+                        "long scans fault some TPU runtimes)")
     p.add_argument("--skip-gen", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
     p.add_argument("--out", default="runs/ns_production")
@@ -61,20 +64,21 @@ def main(argv=None):
         aux_cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "convection",
                            a.dt, a.nu)
         t0 = time.time()
+        fpc = a.frames_per_chunk
         for i in range(a.n_primary):
             f = folder / f"ns_incom_inhom_2d_256-{i}.h5"
             if not f.exists():
-                generate_ns_file(f, i, cfg)
+                generate_ns_file(f, i, cfg, frames_per_chunk=fpc)
                 print(f"primary {i}: {time.time()-t0:.0f}s total", flush=True)
         for i in range(a.n_primary * a.n_aux_per):
             f = folder / f"ns_aux_2d_256-{i}.h5"
             if not f.exists():
-                generate_ns_file(f, 1000 + i, aux_cfg)
+                generate_ns_file(f, 1000 + i, aux_cfg, frames_per_chunk=fpc)
                 print(f"aux {i}: {time.time()-t0:.0f}s total", flush=True)
         for i in range(250, 250 + a.n_test):
             f = folder / f"ns_incom_inhom_2d_256-{i}.h5"
             if not f.exists():
-                generate_ns_file(f, i, cfg)
+                generate_ns_file(f, i, cfg, frames_per_chunk=fpc)
         print(f"generation done: {time.time()-t0:.0f}s", flush=True)
 
     from sciml_pde_tpu.data.ns import load_ns_baseline

@@ -60,10 +60,42 @@ def write_ns_h5(path: str | Path, vel, par, force, ts, config: dict):
 
 
 def generate_ns_file(
-    out_path: str | Path, seed: int, cfg: NSIncompConfig, config_dict: dict | None = None
+    out_path: str | Path, seed: int, cfg: NSIncompConfig,
+    config_dict: dict | None = None, frames_per_chunk: int = 0,
 ):
-    vel, par, force, ts = simulate_ns_batch(seed, cfg)
-    write_ns_h5(out_path, vel, par, force, ts, config_dict or dataclasses.asdict(cfg))
+    """``frames_per_chunk`` > 0 enables the chunked simulation path
+    (multiple shorter jit calls; long single scans fault some TPU
+    runtimes) with frames streamed straight into the growing HDF5 file —
+    device memory holds one chunk, host memory none of the trajectory."""
+    if not frames_per_chunk:
+        vel, par, force, ts = simulate_ns_batch(seed, cfg)
+        write_ns_h5(out_path, vel, par, force, ts, config_dict or dataclasses.asdict(cfg))
+        return
+
+    nx, ny = cfg.grid_size
+    b, t = cfg.n_batch, cfg.n_frames
+    with h5py.File(out_path, "w") as f:
+        f.attrs["config"] = json.dumps(config_dict or dataclasses.asdict(cfg))
+        f.attrs["latestIndex"] = t - 1
+        dvel = f.create_dataset("velocity", (b, t, nx, ny, 2), dtype="float32",
+                                compression="lzf", chunks=(1, 1, nx, ny, 2), shuffle=True)
+        dpar = f.create_dataset("particles", (b, t, nx, ny, 1), dtype="float32",
+                                compression="lzf", chunks=(1, 1, nx, ny, 1), shuffle=True)
+        pos = {"i": 0}
+
+        def cb(vel_c, par_c):
+            i0, n = pos["i"], vel_c.shape[1]
+            dvel[:, i0 : i0 + n] = vel_c
+            dpar[:, i0 : i0 + n] = par_c
+            pos["i"] = i0 + n
+
+        _, _, force, ts = simulate_ns_batch(
+            seed, cfg, frames_per_chunk=frames_per_chunk, frame_callback=cb
+        )
+        assert pos["i"] == t, (pos["i"], t)
+        f.create_dataset("force", data=np.asarray(force, np.float32),
+                         compression="lzf", chunks=(1, nx, ny, 2), shuffle=True)
+        f.create_dataset("t", data=np.asarray(ts, np.float32), compression="lzf")
 
 
 def main(argv=None):

@@ -402,19 +402,74 @@ def simulate_ns_frames(state, cfg: NSIncompConfig):
     )
 
 
-def simulate_ns_batch(seed: int, cfg: NSIncompConfig):
+@functools.partial(jax.jit, static_argnames=("cfg", "n_chunk_frames"))
+def _simulate_chunk(carry, fu, fv, cfg: NSIncompConfig, n_chunk_frames: int):
+    """Advance ``n_chunk_frames`` stored frames (batched carry)."""
+
+    def one(state, fu1, fv1):
+        u, v, c = state
+
+        def inner(s, _):
+            return momentum_step(*s, fu1, fv1, cfg), None
+
+        def frame(s, _):
+            s, _ = jax.lax.scan(inner, s, None, length=cfg.frame_int)
+            return s, (staggered_to_centered(s[0], s[1]), s[2][..., None])
+
+        return jax.lax.scan(frame, (u, v, c), None, length=n_chunk_frames)
+
+    carry, (vel, par) = jax.vmap(one)(carry, fu, fv)
+    # (B, F, ...) frame-major
+    return carry, vel, par
+
+
+def simulate_ns_batch(seed: int, cfg: NSIncompConfig, frames_per_chunk: int = 0,
+                      frame_callback=None):
     """Batched trajectories: returns (velocity (B,T,nx,ny,2),
     particles (B,T,nx,ny,1), force (B,nx,ny,2), t (B,T)).
 
     The init path must be jitted, not batched-eager: eager complex ops are
-    unsupported on some TPU runtimes."""
+    unsupported on some TPU runtimes.  ``frames_per_chunk`` > 0 splits the
+    frame loop across multiple jit calls (long single scans fault some TPU
+    runtimes — PERFORMANCE.md) and bounds device memory for the stored
+    frames; with ``frame_callback(vel_chunk, par_chunk)`` the frames
+    stream to the caller (e.g. straight into HDF5) and are NOT
+    accumulated, and the returned vel/par are None."""
     keys = jax.random.split(jax.random.PRNGKey(seed), cfg.n_batch)
     states = jax.jit(jax.vmap(lambda k: init_state(k, cfg)))(keys)
-    vel, par = jax.vmap(lambda s: simulate_ns_frames(s, cfg))(states)
     fu, fv = states[3], states[4]
     force = jax.jit(jax.vmap(staggered_to_centered))(fu, fv)
     ts = np.broadcast_to(
         (np.arange(cfg.n_frames) * cfg.frame_int * cfg.dt).astype(np.float32),
         (cfg.n_batch, cfg.n_frames),
     )
-    return vel, par, force, ts
+
+    if not frames_per_chunk:
+        vel, par = jax.vmap(lambda s: simulate_ns_frames(s, cfg))(states)
+        return vel, par, force, ts
+
+    carry = (states[0], states[1], states[2])
+    vel0 = np.asarray(jax.jit(jax.vmap(staggered_to_centered))(states[0], states[1]))
+    par0 = np.asarray(states[2])[..., None]
+    chunks_v, chunks_p = [vel0[:, None]], [par0[:, None]]
+    if frame_callback is not None:
+        frame_callback(vel0[:, None], par0[:, None])
+        chunks_v, chunks_p = None, None
+    remaining = cfg.n_frames - 1
+    while remaining > 0:
+        n = min(frames_per_chunk, remaining)
+        carry, vel_c, par_c = _simulate_chunk(carry, fu, fv, cfg, n)
+        if frame_callback is not None:
+            frame_callback(np.asarray(vel_c), np.asarray(par_c))
+        else:
+            chunks_v.append(np.asarray(vel_c))
+            chunks_p.append(np.asarray(par_c))
+        remaining -= n
+    if frame_callback is not None:
+        return None, None, force, ts
+    return (
+        np.concatenate(chunks_v, axis=1),
+        np.concatenate(chunks_p, axis=1),
+        force,
+        ts,
+    )

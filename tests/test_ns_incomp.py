@@ -92,3 +92,29 @@ def test_dct3_solver_exact():
     lhs = np.asarray(_lap_neumann3(p, d))
     rhs = np.asarray(div - jnp.mean(div))
     np.testing.assert_allclose(lhs, rhs, atol=2e-3 * np.abs(rhs).max())
+
+
+def test_chunked_simulation_matches_single_scan(tmp_path):
+    import h5py
+    import numpy as np
+
+    from sciml_pde_tpu.sim.gen_ns_incomp import generate_ns_file
+    from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig, simulate_ns_batch
+
+    cfg = NSIncompConfig(grid_size=(16, 16), dt=1e-3, n_steps=12, frame_int=2,
+                         n_batch=2, nu=0.01, cg_tol=1e-4, cg_max_iter=100)
+    vel, par, force, ts = simulate_ns_batch(3, cfg)
+    vel_c, par_c, force_c, _ = simulate_ns_batch(3, cfg, frames_per_chunk=2)
+    np.testing.assert_allclose(np.asarray(vel), vel_c, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(par), par_c, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(force), np.asarray(force_c), rtol=1e-6)
+
+    # streamed file == in-memory file, same schema
+    generate_ns_file(tmp_path / "a.h5", 3, cfg)
+    generate_ns_file(tmp_path / "b.h5", 3, cfg, frames_per_chunk=3)
+    with h5py.File(tmp_path / "a.h5") as fa, h5py.File(tmp_path / "b.h5") as fb:
+        assert set(fa.keys()) == set(fb.keys())
+        for k in ("velocity", "particles", "force", "t"):
+            np.testing.assert_allclose(fa[k][:], fb[k][:], rtol=2e-5, atol=1e-6)
+        assert fb["velocity"].chunks == (1, 1, 16, 16, 2)
+        assert fa.attrs["latestIndex"] == fb.attrs["latestIndex"]
