@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="reference full-size config uses 0.10")
+    p.add_argument("--loss", choices=["nrmse2", "nrmse"], default="nrmse",
+                   help="the reference DR trainers use true nRMSE (sqrt)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
     p.add_argument("--continue-training", action="store_true",
@@ -78,6 +80,7 @@ def main(argv=None):
         auxiliary_weight=a.aux_weight,
         seed=a.seed,
         continue_training=a.continue_training,
+        loss_type=a.loss,
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}

@@ -44,6 +44,19 @@ def transformer_nrmse(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.mean((pred - tgt) ** 2, axis=dims, keepdims=True) / tgt_norm)
 
 
+def transformer_nrmse_sqrt(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """True per-sample nRMSE (the DR trainers' objective — reference
+    Transformer_2D_DR/Baseline/train_transformer_rd.py:64-70 adds the
+    sqrt that the NS variant lacks), mean-reduced."""
+    dims = tuple(range(1, pred.ndim))
+    mse = jnp.mean((pred - tgt) ** 2, axis=dims)
+    denom = jnp.mean(tgt**2, axis=dims) + 1e-7
+    return jnp.mean(jnp.sqrt(mse) / jnp.sqrt(denom))
+
+
+_LOSSES = {"nrmse2": transformer_nrmse, "nrmse": transformer_nrmse_sqrt}
+
+
 def _head_group(path: tuple) -> str:
     top = str(path[0]) if path else ""
     return "heads" if top.startswith(("head_primary", "head_auxiliary")) else "backbone"
@@ -102,9 +115,10 @@ def _to_tf_layout(x):
 
 def build_transformer_aux_step(
     model, tx, initial_step: int, num_aux_samples: int, auxiliary_weight: float,
-    aux_row_map: np.ndarray | None = None,
+    aux_row_map: np.ndarray | None = None, loss_type: str = "nrmse2",
 ):
     row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
+    loss = _LOSSES[loss_type]
 
     def aux_indices(idx):
         p, t0 = idx[:, 0], idx[:, 1]
@@ -117,8 +131,8 @@ def build_transformer_aux_step(
 
     def loss_fn(params, x, y, xa, ya):
         pred_p, pred_a = model.apply({"params": params}, x, xa)
-        lp = transformer_nrmse(pred_p, y)
-        la = transformer_nrmse(pred_a, ya)
+        lp = loss(pred_p, y)
+        la = loss(pred_a, ya)
         return lp + auxiliary_weight * la, (lp, la)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -141,25 +155,28 @@ def build_transformer_aux_step(
         x, y = gather_windows(data_p, idx, initial_step, 1)
         x = _to_tf_layout(x)
         pred_p, _ = model.apply({"params": params}, x, x)
-        return transformer_nrmse(pred_p, y[..., 0, :])
+        return loss(pred_p, y[..., 0, :])
 
     return step, val_primary
 
 
-def build_transformer_baseline_step(model, tx, initial_step: int):
+def build_transformer_baseline_step(model, tx, initial_step: int,
+                                    loss_type: str = "nrmse2"):
+    loss = _LOSSES[loss_type]
+
     def loss_fn(params, x, y):
         pred = model.apply({"params": params}, x)
-        return transformer_nrmse(pred, y)
+        return loss(pred, y)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, data, idx):
         x, y = gather_windows(data, idx, initial_step, 1)
         x = _to_tf_layout(x)
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, y[..., 0, :])
+        loss_v, grads = jax.value_and_grad(loss_fn)(params, x, y[..., 0, :])
         g_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, g_norm
+        return params, opt_state, loss_v, g_norm
 
     @jax.jit
     def val(params, data, idx):
@@ -219,6 +236,7 @@ def run_transformer_training(
     continue_training: bool = False,
     pretrained_path: str | None = None,
     log_every: int = 50,
+    loss_type: str = "nrmse2",  # nrmse2 (NS trainers) | nrmse (DR trainers)
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
@@ -288,11 +306,14 @@ def run_transformer_training(
     if if_aux:
         params = model.init(key, x0, x0)["params"]
         step_fn, val_fn = build_transformer_aux_step(
-            model, tx, initial_step, num_aux_samples, auxiliary_weight, aux_row_map
+            model, tx, initial_step, num_aux_samples, auxiliary_weight, aux_row_map,
+            loss_type=loss_type,
         )
     else:
         params = model.init(key, x0)["params"]
-        step_fn, val_fn = build_transformer_baseline_step(model, tx, initial_step)
+        step_fn, val_fn = build_transformer_baseline_step(
+            model, tx, initial_step, loss_type=loss_type
+        )
 
     opt_state = tx.init(params)
 
