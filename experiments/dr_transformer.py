@@ -101,7 +101,15 @@ def main(argv=None):
                 num_aux_samples=3, run_dir=str(out),
                 model_name=f"vmae_dr_{key}", log_every=500, **kw,
             )
-            params, best_val = res.params, res.best_val
+            # evaluate the BEST-val checkpoint, not the final params — aux
+            # training can destabilize late (RESULTS.md) and the cosine
+            # end-state is then far off the best
+            from sciml_pde_tpu.utils.checkpoint import restore_params
+
+            try:
+                params, best_val = restore_params(out / f"vmae_dr_{key}_ckpt")
+            except Exception:
+                params, best_val = res.params, res.best_val
             train_s = time.time() - t0
             print(f"{key}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
 
