@@ -49,7 +49,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--host-stream", action="store_true")
-    p.add_argument("--frames-per-chunk", type=int, default=100,
+    p.add_argument("--frames-per-chunk", type=int, default=5,
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
     p.add_argument("--skip-gen", action="store_true")
