@@ -25,12 +25,12 @@ from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig
 
 
 def make_cfg(grid: int, frames: int, frame_int: int, n_batch: int, variant: str,
-             dt: float, nu: float) -> NSIncompConfig:
+             dt: float, nu: float, diffusion_mode: str = "explicit") -> NSIncompConfig:
     kw = dict(VARIANTS[variant])
     nu = kw.pop("nu", nu)
     return NSIncompConfig(
         grid_size=(grid, grid), nu=nu, dt=dt, n_steps=frames * frame_int,
-        frame_int=frame_int, n_batch=n_batch, **kw,
+        frame_int=frame_int, n_batch=n_batch, diffusion_mode=diffusion_mode, **kw,
     )
 
 
@@ -39,9 +39,13 @@ def main(argv=None):
     p.add_argument("--folder", default="data/ns_production")
     p.add_argument("--grid", type=int, default=256)
     p.add_argument("--frames", type=int, default=1000)
-    p.add_argument("--frame-int", type=int, default=100)
-    p.add_argument("--dt", type=float, default=5e-5)
+    p.add_argument("--frame-int", type=int, default=10)
+    p.add_argument("--dt", type=float, default=5e-4)
     p.add_argument("--nu", type=float, default=0.05)
+    p.add_argument("--diffusion-mode", choices=["explicit", "exact"], default="exact",
+                   help="exact (expm propagator) lifts the explicit dt limit: "
+                        "dt 5e-4 x frame_int 10 = the reference's 5e-3 frame "
+                        "spacing at 1/10th the steps")
     p.add_argument("--n-batch", type=int, default=4)
     p.add_argument("--n-primary", type=int, default=2)
     p.add_argument("--n-aux-per", type=int, default=3)
@@ -49,7 +53,7 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=2)
     p.add_argument("--host-stream", action="store_true")
-    p.add_argument("--frames-per-chunk", type=int, default=5,
+    p.add_argument("--frames-per-chunk", type=int, default=20,
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
     p.add_argument("--skip-gen", action="store_true")
@@ -60,9 +64,10 @@ def main(argv=None):
     folder = Path(a.folder)
     if not a.skip_gen:
         folder.mkdir(parents=True, exist_ok=True)
-        cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "full", a.dt, a.nu)
+        cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "full", a.dt, a.nu,
+                       a.diffusion_mode)
         aux_cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "convection",
-                           a.dt, a.nu)
+                           a.dt, a.nu, a.diffusion_mode)
         t0 = time.time()
         fpc = a.frames_per_chunk
         for i in range(a.n_primary):

@@ -74,7 +74,9 @@ def generate_ns_file(
 
     nx, ny = cfg.grid_size
     b, t = cfg.n_batch, cfg.n_frames
-    with h5py.File(out_path, "w") as f:
+    out_path = Path(out_path)
+    tmp_path = out_path.with_suffix(out_path.suffix + ".tmp")
+    with h5py.File(tmp_path, "w") as f:
         f.attrs["config"] = json.dumps(config_dict or dataclasses.asdict(cfg))
         f.attrs["latestIndex"] = t - 1
         dvel = f.create_dataset("velocity", (b, t, nx, ny, 2), dtype="float32",
@@ -96,6 +98,8 @@ def generate_ns_file(
         f.create_dataset("force", data=np.asarray(force, np.float32),
                          compression="lzf", chunks=(1, nx, ny, 2), shuffle=True)
         f.create_dataset("t", data=np.asarray(ts, np.float32), compression="lzf")
+    # atomic publish: a crash mid-write never leaves a plausible-looking file
+    tmp_path.replace(out_path)
 
 
 def main(argv=None):

@@ -118,3 +118,46 @@ def test_chunked_simulation_matches_single_scan(tmp_path):
             np.testing.assert_allclose(fa[k][:], fb[k][:], rtol=2e-5, atol=1e-6)
         assert fb["velocity"].chunks == (1, 1, 16, 16, 2)
         assert fa.attrs["latestIndex"] == fb.attrs["latestIndex"]
+
+
+def test_exact_diffusion_matches_substepped_explicit():
+    import numpy as np
+
+    from sciml_pde_tpu.sim.ns_incomp_2d import (
+        diffuse_exact_u,
+        diffuse_exact_v,
+        diffuse_explicit_u,
+        diffuse_explicit_v,
+    )
+
+    rng = np.random.default_rng(0)
+    u = rng.normal(size=(17, 16)).astype(np.float32)
+    v = rng.normal(size=(16, 17)).astype(np.float32)
+    s_total = 0.8  # far beyond the explicit limit (0.25)
+    n_sub = 4096
+    s_sub = s_total / n_sub
+    ue = u
+    for _ in range(n_sub):
+        ue = diffuse_explicit_u(ue, s_sub, s_sub)
+    ux = diffuse_exact_u(u, s_total, s_total)
+    np.testing.assert_allclose(np.asarray(ux), np.asarray(ue), rtol=2e-3, atol=2e-4)
+
+    ve = v
+    for _ in range(n_sub):
+        ve = diffuse_explicit_v(ve, s_sub, s_sub)
+    vx = diffuse_exact_v(v, s_total, s_total)
+    np.testing.assert_allclose(np.asarray(vx), np.asarray(ve), rtol=2e-3, atol=2e-4)
+
+
+def test_exact_diffusion_full_sim_runs():
+    import numpy as np
+
+    from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig, simulate_ns_batch
+
+    # dt 10x beyond the explicit diffusion limit: exact mode stays stable
+    cfg = NSIncompConfig(grid_size=(16, 16), dt=2e-2, n_steps=8, frame_int=2,
+                         n_batch=1, nu=0.05, diffusion_mode="exact",
+                         cg_tol=1e-4, cg_max_iter=100)
+    vel, par, _, _ = simulate_ns_batch(1, cfg)
+    assert np.isfinite(np.asarray(vel)).all() and np.isfinite(np.asarray(par)).all()
+    assert np.abs(np.asarray(vel)).max() < 100.0
