@@ -42,7 +42,7 @@ def main(argv=None):
     p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
     p.add_argument("--drop-path", type=float, default=0.0,
                    help="reference full-size config uses 0.10")
-    p.add_argument("--loss", choices=["nrmse2", "nrmse"], default="nrmse",
+    p.add_argument("--loss", choices=["nrmse2", "nrmse", "nrmse_perchannel"], default="nrmse",
                    help="the reference DR trainers use true nRMSE (sqrt)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")

@@ -54,7 +54,24 @@ def transformer_nrmse_sqrt(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.sqrt(mse) / jnp.sqrt(denom))
 
 
-_LOSSES = {"nrmse2": transformer_nrmse, "nrmse": transformer_nrmse_sqrt}
+def transformer_nrmse_perchannel(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+    """Per-(sample, channel) true nRMSE, mean-reduced (channels last).
+
+    Not a reference objective — added because joint normalization lets a
+    near-zero-amplitude channel (the DR inhibitor at early frames) carry
+    ~100% relative error unpunished (RESULTS.md per-channel analysis);
+    normalizing per channel weights it equally."""
+    dims = tuple(range(1, pred.ndim - 1))
+    mse = jnp.mean((pred - tgt) ** 2, axis=dims)
+    denom = jnp.mean(tgt**2, axis=dims) + 1e-7
+    return jnp.mean(jnp.sqrt(mse / denom))
+
+
+_LOSSES = {
+    "nrmse2": transformer_nrmse,
+    "nrmse": transformer_nrmse_sqrt,
+    "nrmse_perchannel": transformer_nrmse_perchannel,
+}
 
 
 def _head_group(path: tuple) -> str:

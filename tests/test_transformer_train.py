@@ -76,3 +76,30 @@ def test_transformer_baseline_with_accum_and_warmup(ns_folder, tmp_path):
         run_dir=str(tmp_path), model_name="t_vmae_base", **TFK,
     )
     assert np.isfinite(res.best_val)
+
+
+def test_loss_variants():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sciml_pde_tpu.train.transformer_train import (
+        transformer_nrmse,
+        transformer_nrmse_perchannel,
+        transformer_nrmse_sqrt,
+    )
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.normal(size=(3, 8, 8, 2)).astype(np.float32))
+    p = y + 0.1 * jnp.asarray(rng.normal(size=y.shape).astype(np.float32))
+    l2 = float(transformer_nrmse(p, y))
+    ls = float(transformer_nrmse_sqrt(p, y))
+    lc = float(transformer_nrmse_perchannel(p, y))
+    assert 0 < l2 < ls < 1  # squared < sqrt for rel err < 1
+    assert abs(ls - lc) < 0.05  # balanced channels: per-channel ~ joint
+    # a tiny channel with large relative error inflates ONLY the
+    # per-channel loss
+    y2 = y.at[..., 1].multiply(1e-3)
+    p2 = y2.at[..., 1].add(0.01)
+    assert float(transformer_nrmse_perchannel(p2, y2)) > 3 * float(
+        transformer_nrmse_sqrt(p2, y2)
+    )
