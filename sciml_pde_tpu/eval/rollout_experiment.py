@@ -34,6 +34,9 @@ def rollout_study(
         )
         results[int(k)] = m
         print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
-    if out_path is not None:
-        Path(out_path).write_text(json.dumps(results, indent=1))
+        if out_path is not None:
+            # incremental write: doubles as a liveness heartbeat for
+            # stall-detecting babysitters (remote compiles are minutes-long
+            # and otherwise file-silent)
+            Path(out_path).write_text(json.dumps(results, indent=1))
     return results
