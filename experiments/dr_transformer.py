@@ -44,6 +44,10 @@ def main(argv=None):
                    help="reference full-size config uses 0.10")
     p.add_argument("--loss", choices=["nrmse2", "nrmse", "nrmse_perchannel"], default="nrmse",
                    help="the reference DR trainers use true nRMSE (sqrt)")
+    p.add_argument("--fourier-weight", type=float, default=0.1,
+                   help="relative-FFT-L2 loss weight (published DR recipe: 0.1)")
+    p.add_argument("--clip", type=float, default=1.0,
+                   help="grad-norm clip (published DR rollout recipe: 1.0)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
     p.add_argument("--continue-training", action="store_true",
@@ -81,6 +85,8 @@ def main(argv=None):
         seed=a.seed,
         continue_training=a.continue_training,
         loss_type=a.loss,
+        fourier_weight=a.fourier_weight,
+        clip=a.clip,
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}

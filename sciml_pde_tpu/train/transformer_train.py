@@ -67,11 +67,39 @@ def transformer_nrmse_perchannel(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.nda
     return jnp.mean(jnp.sqrt(mse / denom))
 
 
+def fft_relative_l2(pred: jnp.ndarray, tgt: jnp.ndarray,
+                    eps: float = 1e-20) -> jnp.ndarray:
+    """Per-sample relative L2 in Fourier space over all non-batch dims
+    (reference FftLpLoss, Transformer_2D_DR/Baseline_rollout/metrics.py:
+    247-270, p=2, full spectrum), mean-reduced.  fp32 FFT regardless of
+    compute dtype — bf16 spectra lose the small-amplitude channel."""
+    dims = tuple(range(1, pred.ndim))
+    pf = jnp.fft.fftn(pred.astype(jnp.float32), axes=dims)
+    tf = jnp.fft.fftn(tgt.astype(jnp.float32), axes=dims)
+    num = jnp.sqrt(jnp.sum(jnp.abs(pf - tf) ** 2, axis=dims))
+    den = eps + jnp.sqrt(jnp.sum(jnp.abs(tf) ** 2, axis=dims))
+    return jnp.mean(num / den)
+
+
 _LOSSES = {
     "nrmse2": transformer_nrmse,
     "nrmse": transformer_nrmse_sqrt,
     "nrmse_perchannel": transformer_nrmse_perchannel,
 }
+
+
+def _make_loss(loss_type: str, fourier_weight: float):
+    """Pixel loss, optionally + fourier_weight * relative-FFT-L2 (the
+    reference's published DR recipe: nrmse + 0.1 * FftLpLoss,
+    train_transformer_rd.py:210-212)."""
+    base = _LOSSES[loss_type]
+    if fourier_weight == 0.0:
+        return base
+
+    def loss(pred, tgt):
+        return base(pred, tgt) + fourier_weight * fft_relative_l2(pred, tgt)
+
+    return loss
 
 
 def _head_group(path: tuple) -> str:
@@ -133,9 +161,10 @@ def _to_tf_layout(x):
 def build_transformer_aux_step(
     model, tx, initial_step: int, num_aux_samples: int, auxiliary_weight: float,
     aux_row_map: np.ndarray | None = None, loss_type: str = "nrmse2",
+    fourier_weight: float = 0.0,
 ):
     row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
-    loss = _LOSSES[loss_type]
+    loss = _make_loss(loss_type, fourier_weight)
 
     def aux_indices(idx):
         p, t0 = idx[:, 0], idx[:, 1]
@@ -178,8 +207,9 @@ def build_transformer_aux_step(
 
 
 def build_transformer_baseline_step(model, tx, initial_step: int,
-                                    loss_type: str = "nrmse2"):
-    loss = _LOSSES[loss_type]
+                                    loss_type: str = "nrmse2",
+                                    fourier_weight: float = 0.0):
+    loss = _make_loss(loss_type, fourier_weight)
 
     def loss_fn(params, x, y):
         pred = model.apply({"params": params}, x)
@@ -254,6 +284,7 @@ def run_transformer_training(
     pretrained_path: str | None = None,
     log_every: int = 50,
     loss_type: str = "nrmse2",  # nrmse2 (NS trainers) | nrmse (DR trainers)
+    fourier_weight: float = 0.0,  # DR published recipe: 0.1
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
@@ -324,12 +355,13 @@ def run_transformer_training(
         params = model.init(key, x0, x0)["params"]
         step_fn, val_fn = build_transformer_aux_step(
             model, tx, initial_step, num_aux_samples, auxiliary_weight, aux_row_map,
-            loss_type=loss_type,
+            loss_type=loss_type, fourier_weight=fourier_weight,
         )
     else:
         params = model.init(key, x0)["params"]
         step_fn, val_fn = build_transformer_baseline_step(
-            model, tx, initial_step, loss_type=loss_type
+            model, tx, initial_step, loss_type=loss_type,
+            fourier_weight=fourier_weight,
         )
 
     opt_state = tx.init(params)
