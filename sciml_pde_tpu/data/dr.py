@@ -123,6 +123,7 @@ def load_dr_baseline(
     rollout_test: int = 1,
     extra_train_files: list[str] | None = None,
     primary_file: str = PRIMARY_FILE,
+    to_device: bool = True,
 ) -> DRBaselineDataset:
     """Baseline (single-stream) DR dataset.
 
@@ -136,11 +137,12 @@ def load_dr_baseline(
     )
     return DRBaselineDataset(
         train=WindowedTrajectories(
-            jnp.asarray(train), jnp.asarray(grid),
+            train, jnp.asarray(grid),
             initial_step=initial_step, rollout=rollout_test, train=True,
+            to_device=to_device,
         ),
         test=WindowedTrajectories(
-            jnp.asarray(test), jnp.asarray(grid),
+            test, jnp.asarray(grid),
             initial_step=initial_step, rollout=rollout_test, train=False,
         ),
     )
@@ -168,6 +170,7 @@ def load_dr_aux(
     extra_train_files: list[str] | None = None,
     primary_file: str = PRIMARY_FILE,
     aux_file: str | None = None,
+    to_device: bool = True,
 ) -> DRAuxDataset:
     """Two-stream DR dataset for aux joint training.
 
@@ -199,21 +202,25 @@ def load_dr_aux(
 
     if if_downsample or aux.shape[1:4] != primary_train.shape[1:4]:
         aux_j = _resize_trilinear(aux, primary_train.shape[1:4])
+        if not to_device:
+            aux_j = np.asarray(aux_j)
     else:
-        aux_j = jnp.asarray(aux)
+        aux_j = aux if not to_device else jnp.asarray(aux)
 
     g = jnp.asarray(grid)
     return DRAuxDataset(
         primary_train=WindowedTrajectories(
-            jnp.asarray(primary_train), g,
+            primary_train, g,
             initial_step=initial_step, rollout=rollout_test, train=True,
+            to_device=to_device,
         ),
         primary_test=WindowedTrajectories(
-            jnp.asarray(primary_test), g,
+            primary_test, g,
             initial_step=initial_step, rollout=rollout_test, train=False,
         ),
         aux_train=WindowedTrajectories(
             aux_j, g, initial_step=initial_step, rollout=rollout_test, train=True,
+            to_device=to_device,
         ),
         aux_row_map=None,
     )

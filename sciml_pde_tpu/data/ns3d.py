@@ -70,6 +70,7 @@ def load_ns3d_aux(
     initial_step: int = 10,
     rollout_test: int = 1,
     test_seeds=range(275, 300),
+    to_device: bool = True,
 ) -> NS3DAuxDataset:
     """Primary ``_interp`` seeds (excluding ``test_seeds``) + suffix-less
     aux seeds; aux pairing is the default ``p*num_aux_samples + j``
@@ -104,16 +105,16 @@ def load_ns3d_aux(
     grid = jnp.asarray(unit_grid_3d(*primary.shape[2:5]))
     return NS3DAuxDataset(
         primary_train=WindowedTrajectories(
-            jnp.asarray(primary), grid,
-            initial_step=initial_step, rollout=rollout_test, train=True,
+            primary, grid, initial_step=initial_step, rollout=rollout_test,
+            train=True, to_device=to_device,
         ),
         primary_test=WindowedTrajectories(
-            jnp.asarray(test), grid,
-            initial_step=initial_step, rollout=rollout_test, train=False,
+            test, grid, initial_step=initial_step, rollout=rollout_test,
+            train=False,
         ),
         aux_train=WindowedTrajectories(
-            jnp.asarray(aux), grid,
-            initial_step=initial_step, rollout=rollout_test, train=True,
+            aux, grid, initial_step=initial_step, rollout=rollout_test,
+            train=True, to_device=to_device,
         ),
         aux_row_map=None,
     )

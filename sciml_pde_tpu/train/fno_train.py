@@ -296,9 +296,6 @@ def run_training(
 
     if host_stream and shard_store:
         raise ValueError("host_stream and shard_store are mutually exclusive")
-    if host_stream and dataset_family != "ns":
-        raise NotImplementedError("host_stream is wired for the NS family "
-                                  "(the only store that exceeds HBM)")
 
     aux_row_map = None
     if if_aux:
@@ -320,6 +317,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
+                to_device=not host_stream,
             )
         else:
             ds = load_dr_aux(
@@ -327,6 +325,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, if_downsample=if_downsample,
                 aux_file=aux_file, extra_train_files=extra_train_files,
+                to_device=not host_stream,
             )
         train_w, test_w = ds.primary_train, ds.primary_test
     else:
@@ -347,6 +346,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
+                to_device=not host_stream,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
         else:
@@ -354,6 +354,7 @@ def run_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 extra_train_files=extra_train_files,
+                to_device=not host_stream,
             )
             train_w, test_w = ds.train, ds.test
 
@@ -411,11 +412,6 @@ def run_training(
     train_gather = None
     n_shards = mesh.shape["data"]
     if shard_store:
-        if aux_row_map is not None:
-            raise NotImplementedError(
-                "shard_store with per-file aux row maps (NS pairing) needs "
-                "per-shard maps; use the DR pairing or shard_store=False"
-            )
         from sciml_pde_tpu.data.windows import sharded_gather_windows
         from sciml_pde_tpu.parallel import trajectory_sharding
 
@@ -427,7 +423,23 @@ def run_training(
         tsh = trajectory_sharding(mesh)
         train_w.data = jax.device_put(train_w.data, tsh)
         if if_aux:
-            ds.aux_train.data = jax.device_put(ds.aux_train.data, tsh)
+            # Re-lay (and trim) the aux store into pairing order so the
+            # pairing becomes the identity pattern in SHARD-LOCAL indices:
+            # after aux[perm], primary p's aux rows are p*nA..(p+1)*nA-1,
+            # so each shard's contiguous primary slice owns exactly the
+            # matching contiguous aux slice under trajectory_sharding.
+            # This covers both the NS per-file row map and the DR identity
+            # pairing with an oversized aux pool (which would otherwise
+            # misalign across shard boundaries).
+            n_aux = num_aux_samples
+            perm = (
+                np.asarray(aux_row_map, np.int64).reshape(-1)
+                if aux_row_map is not None
+                else np.arange(train_w.num_trajectories * n_aux, dtype=np.int64)
+            )
+            aux_host = np.asarray(ds.aux_train.data)
+            ds.aux_train.data = jax.device_put(jnp.asarray(aux_host[perm]), tsh)
+            aux_row_map = None
 
         def train_gather(data, idx, initial_step_, rollout_):
             return sharded_gather_windows(data, idx, initial_step_, rollout_, mesh)

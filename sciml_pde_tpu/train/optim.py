@@ -47,6 +47,13 @@ def make_lr_schedule(
     if kind == "cosine":
         return optax.cosine_decay_schedule(learning_rate, decay_steps=max(total_steps, 1))
     if kind == "step":
+        # Cadence note: the reference calls ``scheduler.step()`` once per
+        # optimizer step inside BOTH training branches (fno/train.py:258,
+        # :278) and once more at the end of each epoch (:340), so its
+        # StepLR counter advances steps_per_epoch+1 times per epoch.  The
+        # per-optimizer-step term dominates (steps_per_epoch >> 1) and is
+        # what this schedule reproduces; the extra per-epoch tick shifts
+        # the decay boundary by <1% for any realistic epoch size.
         return optax.exponential_decay(
             learning_rate,
             transition_steps=scheduler_step,

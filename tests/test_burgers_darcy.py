@@ -19,6 +19,8 @@ from sciml_pde_tpu.sim.darcy_2d import (
     solve_darcy,
 )
 
+pytestmark = pytest.mark.slow
+
 
 # ---------------------------------------------------------------- Burgers
 

@@ -11,6 +11,8 @@ from sciml_pde_tpu.sim.gen_diff_react import generate_dataset
 from sciml_pde_tpu.train.cli import main_aux
 from sciml_pde_tpu.eval.analyse import collect
 
+pytestmark = pytest.mark.slow
+
 
 def test_load_config_presets_and_overrides():
     cfg = load_config("config_dr", "basic_ds8", ["epochs=3", "width=8"])

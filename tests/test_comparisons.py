@@ -10,6 +10,8 @@ from sciml_pde_tpu.comparisons.oformer_dr2d import (
     evaluate_comparison,
 )
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dr_folder(tmp_path_factory):

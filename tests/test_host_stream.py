@@ -10,6 +10,8 @@ from sciml_pde_tpu.sim.gen_ns_incomp import VARIANTS, generate_ns_file
 from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig
 from sciml_pde_tpu.train.fno_train import run_training
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     grid_size=(16, 16), dt=1e-3, n_steps=16, frame_int=2, n_batch=2,
     nu=0.01, cg_tol=1e-4, cg_max_iter=200,
@@ -92,8 +94,45 @@ def test_host_stream_guards(ns_folder, tmp_path):
             host_stream=True, shard_store=True,
             run_dir=str(tmp_path), model_name="t_guard",
         )
-    with pytest.raises(NotImplementedError):
-        run_training(
-            base_path="data/", dataset_family="dr", host_stream=True,
-            run_dir=str(tmp_path), model_name="t_guard2",
-        )
+
+
+@pytest.fixture(scope="module")
+def dr_folder(tmp_path_factory):
+    from sciml_pde_tpu.sim.diff_react import DiffReactConfig
+    from sciml_pde_tpu.sim.gen_diff_react import generate_dataset
+
+    folder = tmp_path_factory.mktemp("dr_stream")
+    cfg = dict(xdim=12, ydim=12, t=1.0, tdim=11)
+    generate_dataset(
+        folder / "2D_diff-react_test_all.h5", 9,
+        DiffReactConfig(sim_type="all", **cfg), verbose=False,
+    )
+    generate_dataset(
+        folder / "2D_diff-react_test_diff.h5", 13,
+        DiffReactConfig(sim_type="diff", **cfg), verbose=False,
+    )
+    return str(folder) + "/"
+
+
+def test_host_stream_dr_aux_e2e(dr_folder, tmp_path):
+    res = run_training(
+        base_path=dr_folder, aux_path=dr_folder, dataset_family="dr",
+        if_aux=True, train_subsample=(8, 4, 12), num_aux_samples=3,
+        modes=4, width=8, initial_step=5, rollout_test=1,
+        batch_size=8, epochs=2,
+        run_dir=str(tmp_path), model_name="t_dr_stream_aux", log_every=0,
+        host_stream=True,
+    )
+    assert np.isfinite(res.best_val)
+
+
+def test_host_stream_dr_baseline_e2e(dr_folder, tmp_path):
+    res = run_training(
+        base_path=dr_folder, dataset_family="dr", if_aux=False,
+        train_subsample=(8, 4, 12),
+        modes=4, width=8, initial_step=5, rollout_test=1,
+        batch_size=8, epochs=2,
+        run_dir=str(tmp_path), model_name="t_dr_stream_base", log_every=0,
+        host_stream=True,
+    )
+    assert np.isfinite(res.best_val)

@@ -6,6 +6,10 @@ import numpy as np
 
 from sciml_pde_tpu.comparisons.make_npy import convert_dir, to_mag_frames
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_to_mag_frames_layouts():
     v = np.random.default_rng(0).normal(size=(3, 16, 16, 2)).astype(np.float32)

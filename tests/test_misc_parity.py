@@ -12,6 +12,8 @@ from sciml_pde_tpu.utils.checkpoint import load_partial_params
 from sciml_pde_tpu.utils.upload import dataverse_upload
 from sciml_pde_tpu.sim.vorticity import compute_spectral_vorticity_jnp
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture()
 def h5_dir(tmp_path):

@@ -11,6 +11,8 @@ from sciml_pde_tpu.sim.lie import augment_ns_window, lie_trotter_exp, sample_str
 from sciml_pde_tpu.data.ns import load_ns_aux, load_ns_baseline
 from sciml_pde_tpu.train.fno_train import run_training
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     grid_size=(16, 16), dt=1e-3, n_steps=16, frame_int=2, n_batch=2,
     nu=0.01, cg_tol=1e-4, cg_max_iter=200,

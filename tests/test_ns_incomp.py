@@ -15,6 +15,10 @@ from sciml_pde_tpu.sim.ns_incomp_2d import (
     solve_pressure_cg,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 CFG = NSIncompConfig(
     grid_size=(24, 24), dt=1e-3, n_steps=6, frame_int=2, n_batch=2,
     nu=0.01, cg_tol=1e-6, cg_max_iter=500,

@@ -7,6 +7,10 @@ from sciml_pde_tpu.comparisons.oformer_generic import (
     run_oformer_darcy,
 )
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_burgers_1d_training(tmp_path):
     rng = np.random.default_rng(0)

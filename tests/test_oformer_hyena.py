@@ -12,6 +12,10 @@ from sciml_pde_tpu.models.oformer import (
 )
 from sciml_pde_tpu.models.hyena import HyenaOperator, HyenaOFormer2D, fftconv
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_fftconv_matches_direct_convolution():
     rng = np.random.default_rng(0)

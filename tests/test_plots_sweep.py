@@ -15,6 +15,8 @@ from sciml_pde_tpu.plots.paper_tables import ROLLOUT_NRMSE
 from sciml_pde_tpu.sim.diff_react import DiffReactConfig
 from sciml_pde_tpu.sim.gen_diff_react import generate_dataset
 
+pytestmark = pytest.mark.slow
+
 
 def test_paper_tables_shapes():
     for task, models in ROLLOUT_NRMSE.items():

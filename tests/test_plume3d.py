@@ -16,6 +16,8 @@ from sciml_pde_tpu.data.ns3d import load_ns3d_aux
 from sciml_pde_tpu.models.transformer3d import VideoMAEOperator3D, Transformer3DAux
 from sciml_pde_tpu.models import FNO3dAux
 
+pytestmark = pytest.mark.slow
+
 TINY = Plume3DConfig(
     res=(8, 8, 12), dt=1e-3, n_frames=6, substeps=2, cg_tol=1e-3,
     cg_max_iter=100, out_res=(8, 8, 12), out_frames=6,

@@ -14,6 +14,8 @@ from sciml_pde_tpu.parallel import make_mesh, trajectory_sharding
 from sciml_pde_tpu.sim.diff_react import DiffReactConfig
 from sciml_pde_tpu.sim.gen_diff_react import generate_dataset
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dr_folder(tmp_path_factory):
@@ -102,5 +104,47 @@ def test_shard_store_training_e2e(dr_folder, tmp_path):
         epochs=2, batch_size=8, modes=4, width=8, initial_step=5,
         run_dir=str(tmp_path), model_name="shard_aux", shard_store=True,
         log_every=0,
+    )
+    assert np.isfinite(res.best_val)
+
+
+@pytest.fixture(scope="module")
+def ns_folder(tmp_path_factory):
+    from sciml_pde_tpu.sim.gen_ns_incomp import VARIANTS, generate_ns_file
+    from sciml_pde_tpu.sim.ns_incomp_2d import NSIncompConfig
+
+    tiny = dict(
+        grid_size=(16, 16), dt=1e-3, n_steps=16, frame_int=2, n_batch=2,
+        nu=0.01, cg_tol=1e-4, cg_max_iter=200,
+    )
+    folder = tmp_path_factory.mktemp("ns_shard")
+    # 4 primary files x 2 traj = 8 primary rows (divisible by the 8-device
+    # CPU mesh); aux pairing needs files f*2+j -> 8 aux files
+    for i in [0, 1, 2, 3, 250]:
+        generate_ns_file(folder / f"ns_incom_inhom_2d_256-{i}.h5", i,
+                         NSIncompConfig(**tiny))
+    aux_cfg = NSIncompConfig(**{**tiny, **VARIANTS["convection"]})
+    for i in range(8):
+        generate_ns_file(folder / f"ns_aux_2d_256-{i}.h5", 100 + i, aux_cfg)
+    generate_ns_file(folder / "ns_aux_2d_256-250.h5", 300, aux_cfg)
+    return folder
+
+
+def test_shard_store_ns_aux_row_map_e2e(ns_folder, tmp_path):
+    """NS per-file aux pairing under a sharded store: the trainer re-lays
+    the aux store into row-map order so each shard's primaries own the
+    matching contiguous aux slice (2 files x 2 traj = 4 primary rows on a
+    4-shard mesh)."""
+    from sciml_pde_tpu.train.fno_train import run_training
+
+    if len(jax.devices()) != 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    res = run_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+        train_subsample=(4, 4, 8), num_aux_samples=2, test_range=(250, 251),
+        modes=4, width=8, initial_step=3, rollout_test=1,
+        num_channels=3, batch_size=8, epochs=2,
+        run_dir=str(tmp_path), model_name="t_ns_shard_aux", log_every=0,
+        shard_store=True,
     )
     assert np.isfinite(res.best_val)

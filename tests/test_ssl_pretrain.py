@@ -7,6 +7,10 @@ import jax.numpy as jnp
 from sciml_pde_tpu.data.windows import WindowedTrajectories
 from sciml_pde_tpu.train.ssl_pretrain import make_tube_mask, run_ssl_pretraining
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 
 def test_make_tube_mask_fixed_count():
     m = np.asarray(make_tube_mask(jax.random.PRNGKey(0), 4, 16, 0.75))

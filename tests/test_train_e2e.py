@@ -15,6 +15,8 @@ from sciml_pde_tpu.train.optim import adaptive_clip, aux_group_of
 from sciml_pde_tpu.eval.rollout import evaluate_rollout
 from sciml_pde_tpu.models import FNO2d
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dr_data(tmp_path_factory):

@@ -7,6 +7,8 @@ from sciml_pde_tpu.sim.diff_react import DiffReactConfig
 from sciml_pde_tpu.sim.gen_diff_react import generate_dataset
 from sciml_pde_tpu.train.fno_train import run_training
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dr_folder(tmp_path_factory):

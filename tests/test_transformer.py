@@ -13,6 +13,8 @@ from sciml_pde_tpu.models.transformer import (
     sinusoid_table,
 )
 
+pytestmark = pytest.mark.slow
+
 SMALL = dict(
     img_size=32, patch_size=8, tubelet_size=2, in_chans=3, num_frames=4,
     encoder_dim=32, encoder_depth=2, encoder_heads=4,

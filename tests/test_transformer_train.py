@@ -12,6 +12,8 @@ from sciml_pde_tpu.train.transformer_train import (
     transformer_nrmse,
 )
 
+pytestmark = pytest.mark.slow
+
 TINY = dict(
     grid_size=(16, 16), dt=1e-3, n_steps=16, frame_int=2, n_batch=2,
     nu=0.01, cg_tol=1e-4, cg_max_iter=100,
