@@ -1,3 +1,4 @@
+from sciml_pde_tpu.parallel.distributed import distributed_init, host_local_array
 from sciml_pde_tpu.parallel.mesh import (
     MeshAxes,
     make_mesh,
@@ -10,6 +11,8 @@ from sciml_pde_tpu.parallel.mesh import (
 
 __all__ = [
     "MeshAxes",
+    "distributed_init",
+    "host_local_array",
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
