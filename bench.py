@@ -13,9 +13,18 @@ Prints ONE JSON line:
    "vs_baseline": ...}
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-the driver-defined target is ">=2x H100 training steps/sec/chip".  We use
-an assumed H100 torch baseline of 100 steps/s for this small-model,
-launch-overhead-bound config; vs_baseline = value / 100.
+the driver-defined target is ">=2x H100 training steps/sec/chip".  The
+denominator is the MEASURED+analytic H100 bound produced by
+``experiments/torch_baseline.py`` (results/torch_cpu_baseline.json):
+min(flops bound at 50% TF32 utilization, kernel-launch bound from the
+profiled 297-op eager step at an optimistic 3 us/launch) — the
+reference's eager fp32 torch step is launch-bound at this batch-4,
+128^2 shape, so the launch bound (~1.1k steps/s) governs.  Falls back
+to that recorded constant if the JSON is absent.
+
+Also reported: median-of-5 window throughput with the window spread,
+HLO flops/step (XLA cost analysis) and the implied MFU against the
+v5e bf16 peak (197 TFLOP/s).
 """
 
 from __future__ import annotations
@@ -26,7 +35,8 @@ import time
 
 import numpy as np
 
-H100_ASSUMED_STEPS_PER_SEC = 100.0
+H100_BOUND_FALLBACK_STEPS_PER_SEC = 1122.0  # experiments/results/torch_cpu_baseline.json
+V5E_BF16_PEAK_FLOPS = 197e12
 BATCH = 4
 NX = NY = 128
 INITIAL_STEP = 10
@@ -63,13 +73,19 @@ def main():
     tx = make_optimizer(1e-3, total_steps=10_000)
     step_fn, _ = build_baseline_step(model, tx, INITIAL_STEP, rollout=1)
 
-    idx = np.stack(
-        [
-            rng.integers(0, n_traj, BATCH),
-            rng.integers(0, n_frames - INITIAL_STEP - 1, BATCH),
-        ],
-        axis=1,
-    ).astype(np.int32)
+    # a pool of distinct index batches, cycled per step, so measurement
+    # covers differently-shaped gathers rather than one cached batch
+    idx_pool = [
+        np.stack(
+            [
+                rng.integers(0, n_traj, BATCH),
+                rng.integers(0, n_frames - INITIAL_STEP - 1, BATCH),
+            ],
+            axis=1,
+        ).astype(np.int32)
+        for _ in range(16)
+    ]
+    idx = idx_pool[0]
 
     x0 = jnp.zeros((1, NX, NY, INITIAL_STEP, CHANNELS), jnp.float32)
     g0 = grid[None]
@@ -79,7 +95,8 @@ def main():
     opt_state = replicate(opt_state, mesh)
     data = replicate(data, mesh)
     grid_r = replicate(grid, mesh)
-    bidx = shard_batch(idx, mesh)
+    bidx_pool = [shard_batch(i, mesh) for i in idx_pool]
+    bidx = bidx_pool[0]
 
     key = jax.random.PRNGKey(0)
 
@@ -91,22 +108,41 @@ def main():
     jax.block_until_ready(params)
     print(f"[bench] train-step compile+warmup: {time.perf_counter()-t0:.1f}s", file=sys.stderr, flush=True)
 
-    # three measurement windows; report the best (the tunnel/runtime adds
-    # run-to-run noise well above the kernel's own variance)
+    # five measurement windows; report the MEDIAN and the spread (the
+    # tunnel/runtime adds run-to-run noise well above kernel variance —
+    # median is robust to a wedged window without cherry-picking the top)
     n_steps = 200
     rates = []
-    for w in range(3):
+    for w in range(5):
         t0 = time.perf_counter()
-        for _ in range(n_steps):
-            params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx, key)
+        for s in range(n_steps):
+            params, opt_state, loss, g_norm = step_fn(
+                params, opt_state, data, grid_r, bidx_pool[s % len(bidx_pool)], key
+            )
         jax.block_until_ready(params)
         rates.append(n_steps / (time.perf_counter() - t0))
-    steps_per_sec = max(rates)
+    steps_per_sec = float(np.median(rates))
     final_loss = float(loss)
     print(
-        f"[bench] windows {[round(r,1) for r in rates]} steps/s, best "
+        f"[bench] windows {[round(r,1) for r in rates]} steps/s, median "
         f"{steps_per_sec:.1f} (loss={final_loss:.4f})",
         file=sys.stderr, flush=True,
+    )
+
+    # HLO flops of one compiled step -> MFU against the v5e bf16 peak
+    flops_per_step = None
+    try:
+        lowered = step_fn.lower(params, opt_state, data, grid_r, bidx, key)
+        cost = lowered.compile().cost_analysis()
+        if cost:
+            c = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops_per_step = float(c.get("flops", 0.0)) or None
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"[bench] cost_analysis unavailable: {e}", file=sys.stderr)
+    mfu = (
+        flops_per_step * steps_per_sec / V5E_BF16_PEAK_FLOPS
+        if flops_per_step
+        else None
     )
 
     # ---- 100-step rollout wall-clock ------------------------------------
@@ -124,14 +160,29 @@ def main():
     jax.block_until_ready(ro(params, xb, gb))
     rollout_s = time.perf_counter() - t0
 
+    import pathlib
+
+    baseline_path = pathlib.Path(__file__).parent / "experiments" / "results" / "torch_cpu_baseline.json"
+    h100_bound = H100_BOUND_FALLBACK_STEPS_PER_SEC
+    torch_cpu = None
+    if baseline_path.exists():
+        b = json.loads(baseline_path.read_text())
+        h100_bound = float(b.get("h100_steps_per_sec_bound", h100_bound))
+        torch_cpu = b.get("torch_cpu_steps_per_sec")
+
     details = {
         "device": str(jax.devices()[0]),
         "n_devices": len(jax.devices()),
         "batch": BATCH,
         "train_steps_per_sec": steps_per_sec,
+        "train_steps_per_sec_windows": [round(r, 1) for r in rates],
         "train_step_ms": 1000.0 / steps_per_sec,
+        "hlo_flops_per_step": flops_per_step,
+        "mfu_vs_v5e_bf16_peak": mfu,
         "rollout100_wall_s": rollout_s,
         "rollout100_steps_per_sec": 100.0 / rollout_s,
+        "h100_bound_steps_per_sec": h100_bound,
+        "torch_cpu_steps_per_sec": torch_cpu,
         "final_loss": final_loss,
     }
     print(json.dumps(details), file=sys.stderr)
@@ -142,7 +193,7 @@ def main():
                 "metric": "fno2d_dr_train_steps_per_sec",
                 "value": round(steps_per_sec, 2),
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / H100_ASSUMED_STEPS_PER_SEC, 3),
+                "vs_baseline": round(steps_per_sec / h100_bound, 3),
             }
         )
     )
