@@ -40,8 +40,9 @@ def main(argv=None):
             run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}",
             log_every=500, continue_training=a.continue_training,
         )
-        if variant == "baseline" and cfg["train_subsample"][0] > 90:
-            # the primary file holds 90 train seeds; ds128 extends the
+        primary_n = cfg["train_subsample"][0 if variant == "baseline" else 1]
+        if primary_n > 90:
+            # the primary file holds 90 train seeds; ds128+ extends the
             # train pool with the seeds-100..299 extension file
             cfg["extra_train_files"] = ["2D_diff-react_ext_all_100_299.h5"]
         t0 = time.time()

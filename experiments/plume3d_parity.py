@@ -1,0 +1,149 @@
+"""3D NS plume parity: FNO3d baseline vs aux, rollout 1..5 table.
+
+Targets the published 3D table (Plot Generator/rollout.py:123-125):
+  baseline: 0.067505 / 0.109714 / 0.150054 / 0.185311 / 0.218163
+  aux:      0.048125 / 0.086153 / 0.120555 / 0.149356 / 0.174979
+
+Reference configuration (models/config/config_ns_3d.yaml): modes 12,
+width 20, initial_step 10, t_train 150, 20 epochs, cosine; aux pairing
+``p*num_aux_samples + j`` with convection-form decomposed trajectories;
+test seeds 275+.  Data generated on device by sim/ns_plume_3d.py at the
+production resolution 50x50x89.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--folder", default="data/plume3d_parity")
+    p.add_argument("--res", type=int, nargs=3, default=[50, 50, 89])
+    p.add_argument("--frames", type=int, default=150)
+    p.add_argument("--substeps", type=int, default=10)
+    p.add_argument("--n-primary", type=int, default=8)
+    p.add_argument("--n-aux-per", type=int, default=3)
+    p.add_argument("--aux-primary", type=int, default=4,
+                   help="primary count for the aux variant (ds8 = [8,4,12])")
+    p.add_argument("--n-test", type=int, default=4)
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--modes", type=int, default=12)
+    p.add_argument("--width", type=int, default=20)
+    p.add_argument("--initial-step", type=int, default=10)
+    p.add_argument("--skip-gen", action="store_true")
+    p.add_argument("--continue-training", action="store_true")
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--out", default="runs/plume3d_parity")
+    a = p.parse_args(argv)
+
+    from sciml_pde_tpu.sim.ns_plume_3d import Plume3DConfig, generate_plume_files
+
+    folder = Path(a.folder)
+    cfg = Plume3DConfig(
+        res=tuple(a.res), n_frames=a.frames, substeps=a.substeps,
+        out_res=tuple(a.res), out_frames=a.frames,
+    )
+    aux_cfg = Plume3DConfig(
+        res=tuple(a.res), n_frames=a.frames, substeps=a.substeps,
+        out_res=tuple(a.res), out_frames=a.frames,
+        enable_diffusion=False, enable_buoyancy=False,  # convection form
+    )
+    n_aux_total = a.aux_primary * a.n_aux_per
+    if not a.skip_gen:
+        t0 = time.time()
+        done = 0
+        for i in range(a.n_primary):
+            if not (folder / f"v_trj_seed{i}_interp.h5").exists():
+                generate_plume_files(folder, i, cfg, suffix="_interp")
+                done += 1
+        for i in range(n_aux_total):
+            if not (folder / f"v_trj_seed{i}.h5").exists():
+                generate_plume_files(folder, i, aux_cfg, suffix="")
+                done += 1
+        for i in range(275, 275 + a.n_test):
+            if not (folder / f"v_trj_seed{i}_interp.h5").exists():
+                generate_plume_files(folder, i, cfg, suffix="_interp")
+                done += 1
+        print(f"generation: {done} new trajectories in {time.time()-t0:.0f}s",
+              flush=True)
+
+    from sciml_pde_tpu.train.fno_train import run_training
+    from sciml_pde_tpu.eval.rollout import evaluate_rollout
+    from sciml_pde_tpu.data.ns3d import load_ns3d_aux
+
+    out = Path(a.out)
+    out.mkdir(parents=True, exist_ok=True)
+    summary_path = out / "summary.json"
+    results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
+
+    test_range = (275, 275 + a.n_test)
+    for variant in a.variants:
+        if_aux = variant == "aux"
+        sub = ((a.n_primary, a.aux_primary, n_aux_total) if if_aux
+               else (a.n_primary, a.n_primary, n_aux_total))
+        t0 = time.time()
+        res = run_training(
+            base_path=str(folder), aux_path=str(folder), dataset_family="ns3d",
+            if_aux=if_aux, train_subsample=sub,
+            num_aux_samples=a.n_aux_per, test_range=test_range,
+            num_channels=4, modes=a.modes, width=a.width,
+            initial_step=a.initial_step,
+            rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
+            run_dir=str(out), model_name=f"plume_{variant}", log_every=200,
+            continue_training=a.continue_training or a.eval_only,
+            if_training=not a.eval_only,
+        )
+        train_s = time.time() - t0
+        print(f"{variant}: best_val={res.best_val:.6f} in {train_s:.0f}s",
+              flush=True)
+
+        # rollout study 1..5 on the best-val checkpoint
+        import jax.numpy as jnp
+        from sciml_pde_tpu.models import FNO3d, FNO3dAux
+        from sciml_pde_tpu.utils.checkpoint import restore_params
+
+        ds = load_ns3d_aux(
+            str(folder), str(folder),
+            train_subsample=(1, 1, max(a.n_aux_per, 1)),
+            num_aux_samples=a.n_aux_per, initial_step=a.initial_step,
+            rollout_test=5, test_seeds=range(*test_range),
+        )
+        params, best_val = restore_params(out / f"plume_{variant}_ckpt")
+        mk = dict(num_channels=4, modes1=a.modes, modes2=a.modes,
+                  modes3=a.modes, width=a.width, initial_step=a.initial_step)
+        if if_aux:
+            model = FNO3dAux(**mk)
+
+            def apply_fn(pp, x, g):
+                o, _ = model.apply({"params": pp}, x, g, x, g)
+                return o
+        else:
+            model = FNO3d(**mk)
+
+            def apply_fn(pp, x, g):
+                return model.apply({"params": pp}, x, g)
+
+        study = {}
+        for k in (1, 2, 3, 4, 5):
+            m = evaluate_rollout(apply_fn, ds.primary_test, rollout_test=k,
+                                 batch_size=1, params=params)
+            study[k] = m["nRMSE"]
+            print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
+
+        results[variant] = {
+            "best_val": float(best_val),
+            "train_seconds": train_s,
+            "rollout_nrmse": [study[k] for k in sorted(study)],
+        }
+        summary_path.write_text(json.dumps(results, indent=1))
+    print(json.dumps(results, indent=1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
