@@ -48,6 +48,8 @@ def main(argv=None):
                    help="relative-FFT-L2 loss weight (published DR recipe: 0.1)")
     p.add_argument("--clip", type=float, default=1.0,
                    help="grad-norm clip (published DR rollout recipe: 1.0)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize encoder blocks (HBM for FLOPs)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="", help="suffix for model_name/summary keys")
     p.add_argument("--continue-training", action="store_true",
@@ -69,7 +71,9 @@ def main(argv=None):
     train_subsample = load_config("config_dr", a.dataset)["train_subsample"]
     # reference hyperparameters (config_transformer_aux_rd.yaml): lr 3e-4,
     # 5% warmup, aux weight 0.5
-    steps_per_epoch = max(train_subsample[0] * 91 // a.batch_size, 1)
+    # optimizer steps (optax.MultiSteps ticks schedules once per
+    # accumulated update), so warmup_frac is a true fraction
+    steps_per_epoch = max(train_subsample[0] * 91 // a.batch_size // max(a.grad_accum, 1), 1)
     kw = dict(
         img_size=128, patch_size=16, tubelet_size=1, in_chans=2,
         encoder_embed_dim=a.encoder_dim, encoder_depth=a.encoder_depth,
@@ -87,6 +91,7 @@ def main(argv=None):
         loss_type=a.loss,
         fourier_weight=a.fourier_weight,
         clip=a.clip,
+        use_checkpoint=a.remat,
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
