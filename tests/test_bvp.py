@@ -1,0 +1,60 @@
+"""2D BVP generator: Dirichlet Poisson solve oracle + schema checks."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sciml_pde_tpu.sim.bvp_2d import (
+    BVPConfig,
+    generate_case,
+    generate_dataset,
+    load_pointset,
+    poisson_dirichlet,
+)
+
+
+def test_poisson_dirichlet_inverts_laplacian():
+    n = 32
+    dx = 1.0 / (n + 1)
+    rng = np.random.default_rng(0)
+    rho = rng.normal(size=(n, n)).astype(np.float32)
+    phi = np.asarray(poisson_dirichlet(jnp.asarray(rho), dx))
+    # apply the 5-point Laplacian with zero Dirichlet walls
+    pp = np.pad(phi, 1)
+    lap = (pp[2:, 1:-1] + pp[:-2, 1:-1] + pp[1:-1, 2:] + pp[1:-1, :-2]
+           - 4 * phi) / dx**2
+    np.testing.assert_allclose(lap, -rho, rtol=2e-3, atol=2e-3)
+
+
+def test_case_schema_and_physics():
+    cfg = BVPConfig(grid=64, min_points=100, max_points=160)
+    c = generate_case(3, cfg)
+    x, y = c["data_x"], c["data_y"]
+    assert x.shape[1] == 11 and y.shape[1] == 3
+    assert 100 <= x.shape[0] <= 160
+    bnd = np.abs(x[:, 3] - 1.0) < 1e-10
+    # grounded boundary: potential exactly zero on the walls
+    np.testing.assert_allclose(y[bnd, 0], 0.0)
+    # interior potential is non-trivial
+    assert np.abs(y[~bnd, 0]).max() > 0
+
+
+def test_magneto_field_is_curl():
+    """For the magneto kind, the field must be divergence-free-ish
+    (B = curl A) — check the grid-level construction on one case by
+    comparing field columns against electro's rotated gradient."""
+    ce = generate_case(5, BVPConfig(kind="electro", grid=64, min_points=120, max_points=121))
+    cm = generate_case(5, BVPConfig(kind="magneto", grid=64, min_points=120, max_points=121))
+    # same rng stream -> same nodes/sources; B = (-Ey, Ex) rotation of E
+    np.testing.assert_allclose(cm["data_y"][:, 1], -ce["data_y"][:, 2], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(cm["data_y"][:, 2], ce["data_y"][:, 1], rtol=1e-5, atol=1e-6)
+
+
+def test_pickle_roundtrip(tmp_path):
+    cfg = BVPConfig(grid=32, min_points=50, max_points=80)
+    generate_dataset(tmp_path / "electro_train.pkl", 4, cfg)
+    d = load_pointset(tmp_path / "electro_train.pkl")
+    assert d["features"].shape[0] == 4
+    p = d["features"].shape[1]
+    assert 50 <= p <= 80
+    assert d["pad_mask"].any(axis=1).all()
+    assert (d["scalar"][~d["pad_mask"]] == 0).all()
