@@ -124,6 +124,10 @@ class HyenaOperator(nn.Module):
     def __call__(self, u):
         # u: (B, L, D)
         b, l, _ = u.shape
+        if l > self.l_max:
+            raise ValueError(
+                f"sequence length {l} exceeds l_max={self.l_max}; construct "
+                "the operator with l_max >= the flattened grid size")
         l_filter = min(l, self.l_max)
         inner = self.d_model * (self.order + 1)
         u = nn.Dense(inner, kernel_init=xavier, name="in_proj")(u)
@@ -197,6 +201,8 @@ class HyenaOFormer2D(nn.Module):
     depth: int = 2
     out_steps: int = 1
     branches: int = 8
+    l_max: int = 4096  # must cover the flattened grid token count
+    remat: bool = False
 
     def setup(self):
         from sciml_pde_tpu.models.oformer import (
@@ -208,9 +214,11 @@ class HyenaOFormer2D(nn.Module):
             self.input_channels, self.in_emb_dim, self.latent_channels,
             self.heads, self.depth,
         )
-        self.hyena = Hyena1dBlock(self.latent_channels, branches=self.branches)
+        self.hyena = Hyena1dBlock(self.latent_channels, branches=self.branches,
+                                  l_max=self.l_max)
         self.decoder = PointWiseDecoder2D(
-            self.latent_channels, self.out_channels, self.out_steps, propagator_depth=1,
+            self.latent_channels, self.out_channels, self.out_steps,
+            propagator_depth=1, remat=self.remat,
         )
 
     def __call__(self, x, pos):
@@ -218,3 +226,11 @@ class HyenaOFormer2D(nn.Module):
         z = self.hyena(z)
         u, _ = self.decoder(z, pos, pos)
         return u
+
+    def rollout(self, x, pos, forward_steps):
+        """Latent rollout through the hyena bottleneck: one encode, then
+        ``forward_steps`` latent propagator/decode steps
+        (eval_hyena_rd2d.py:29-49 protocol)."""
+        z = self.encoder(x, pos)
+        z = self.hyena(z)
+        return self.decoder.rollout(z, pos, forward_steps, pos)

@@ -277,6 +277,7 @@ class PointWiseDecoder2D(nn.Module):
     out_steps: int = 1
     propagator_depth: int = 2
     scale: float = 8.0
+    remat: bool = False
 
     def setup(self):
         lc = self.latent_channels
@@ -331,13 +332,19 @@ class PointWiseDecoder2D(nn.Module):
 
     def rollout(self, z, propagate_pos, forward_steps, input_pos):
         """Latent-space rollout (decoder_module.py:749-767): propagate the
-        latent ``forward_steps // out_steps`` times, decoding each chunk."""
+        latent ``forward_steps // out_steps`` times, decoding each chunk.
+
+        ``remat`` recomputes each propagate/decode step in the backward
+        pass so long training rollouts (e.g. the 40-step DR protocol)
+        don't hold every step's activations in HBM."""
         z = self.get_embedding(z, propagate_pos, input_pos)
 
         def body(zc, _):
             zc = self.propagate(zc, propagate_pos)
             return zc, self.decode(zc)
 
+        if self.remat:
+            body = jax.checkpoint(body)
         _, frames = jax.lax.scan(body, z, None, length=forward_steps // self.out_steps)
         # frames: (steps, b, n, out_steps*C) -> (b, n, steps*out_steps*C)
         frames = jnp.moveaxis(frames, 0, 2)
@@ -359,6 +366,7 @@ class OFormer2D(nn.Module):
     depth: int = 4
     out_steps: int = 1
     propagator_depth: int = 2
+    remat: bool = False
 
     def setup(self):
         self.encoder = SpatialTemporalEncoder2D(
@@ -367,7 +375,7 @@ class OFormer2D(nn.Module):
         )
         self.decoder = PointWiseDecoder2D(
             self.latent_channels, self.out_channels, self.out_steps,
-            self.propagator_depth,
+            self.propagator_depth, remat=self.remat,
         )
 
     def __call__(self, x, pos):

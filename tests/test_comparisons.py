@@ -44,3 +44,21 @@ def test_oformer_dr_train_and_eval(dr_folder, tmp_path):
     m = evaluate_comparison(model, res.params, ds.test, initial_step=4, rollout_steps=3)
     assert len(m["rel_l2_by_step"]) == 3
     assert np.isfinite(m["rollout_rel_l2"]) and np.isfinite(m["accumulated_mse"])
+
+
+def test_rollout_protocol_oformer_and_hyena(dr_folder, tmp_path):
+    """Reference-protocol path: one encode + latent rollout, normalized
+    data, five-number metric set (eval_oformer_rd2d.py:121-127)."""
+    from sciml_pde_tpu.comparisons.oformer_dr2d import run_rollout_protocol
+
+    for mt in ("oformer", "hyena"):
+        m, params = run_rollout_protocol(
+            base_path=str(dr_folder) + "/", model_type=mt,
+            in_seq_len=4, out_seq_len=4, spatial_down=1, channel=0,
+            train_subsample=5, batch_size=2, epochs=1,
+            in_emb_dim=16, latent_channels=16, heads=2, depth=2,
+            run_dir=str(tmp_path), model_name=f"{mt}_proto",
+        )
+        for k in ("avg_rel_l2", "accumulated_mse", "final_rel_l2",
+                  "nrmse_rollout", "nrmse_final"):
+            assert np.isfinite(m[k]), (mt, k, m)

@@ -95,6 +95,34 @@ def test_hyena_operator_and_hybrid():
     assert np.isfinite(np.asarray(u)).all()
 
 
+def test_hyena_rejects_sequences_beyond_l_max():
+    """Token counts above l_max must fail loudly at trace time (the
+    residual shapes would silently mismatch otherwise) — callers size
+    l_max to the flattened grid (oformer_dr2d.run_comparison_training)."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 48, 8)).astype(np.float32))
+    op = HyenaOperator(d_model=8, l_max=32, filter_order=8)
+    with pytest.raises(ValueError, match="l_max"):
+        op.init(jax.random.PRNGKey(0), x)
+
+
+def test_hyena_hybrid_plumbs_l_max():
+    """l_max on the hybrid reaches the operator: a grid larger than the
+    4096 default-sized filter works when l_max covers it."""
+    rng = np.random.default_rng(6)
+    b, n, cin = 1, 40, 4
+    xg = jnp.asarray(rng.normal(size=(b, n, cin)).astype(np.float32))
+    pos = jnp.asarray(rng.uniform(size=(b, n, 2)).astype(np.float32))
+    hyb = HyenaOFormer2D(
+        input_channels=cin, out_channels=1, in_emb_dim=8, latent_channels=8,
+        heads=2, depth=2, branches=1, l_max=n,
+    )
+    p = hyb.init(jax.random.PRNGKey(3), xg, pos)["params"]
+    u = hyb.apply({"params": p}, xg, pos)
+    assert u.shape == (b, n, 1)
+    assert np.isfinite(np.asarray(u)).all()
+
+
 class TestPointsetBVP:
     """Irregular point-set BVP path (BVP/airfoil class): pad-masked
     Galerkin attention, two-head decode, masked loss."""
