@@ -58,6 +58,9 @@ def main(argv=None):
                    help="skip training; restore the best-val checkpoint and run the rollout study")
     p.add_argument("--out", default="runs/dr_transformer")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--swa-frac", type=float, default=0.1,
+                   help="weight-average window as a fraction of epochs "
+                        "(reference aux recipe: last 10%%)")
     a = p.parse_args(argv)
 
     from sciml_pde_tpu.train.transformer_train import run_transformer_training
@@ -106,11 +109,18 @@ def main(argv=None):
             train_s = 0.0
             print(f"{key}: restored ckpt best_val={best_val:.6f}", flush=True)
         else:
+            vkw = dict(kw)
+            if variant == "aux":
+                # reference DR aux (train_transformer_aux_rd.py): shared
+                # decoder output (no separate heads), plain nrmse without
+                # the fft term, SWA over the last 10% of epochs
+                vkw.update(aux_shared_head=True, fourier_weight=0.0,
+                           swa_frac=a.swa_frac)
             res = run_transformer_training(
                 base_path=a.data, aux_path=a.data, dataset_family="dr",
                 if_aux=(variant == "aux"), train_subsample=tuple(train_subsample),
                 num_aux_samples=3, run_dir=str(out),
-                model_name=f"vmae_dr_{key}", log_every=500, **kw,
+                model_name=f"vmae_dr_{key}", log_every=500, **vkw,
             )
             # evaluate the BEST-val checkpoint, not the final params — aux
             # training can destabilize late (RESULTS.md) and the cosine
@@ -133,7 +143,7 @@ def main(argv=None):
             dtype=jnp.bfloat16 if a.precision == "bf16" else jnp.float32,
         )
         if variant == "aux":
-            model = VideoMAEOperatorAux(**mk)
+            model = VideoMAEOperatorAux(**mk, shared_head=True)
 
             def apply_fn(pp, x, g):
                 xt = jnp.moveaxis(x, -2, 1)
@@ -152,11 +162,20 @@ def main(argv=None):
                                  params=params)
             study[k] = m["nRMSE"]
             print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
+        swa_study = None
+        if res is not None and res.swa_params is not None:
+            swa_study = []
+            for k in (1, 2, 3, 4, 5):
+                m = evaluate_rollout(apply_fn, ds.test, rollout_test=k,
+                                     batch_size=5, params=res.swa_params)
+                swa_study.append(m["nRMSE"])
+                print(f"SWA rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
         results[key] = {
             "best_val": float(best_val),
             "train_seconds": train_s,
             "val_history": [h.get("val_loss") for h in res.history] if res else None,
             "rollout_nrmse": [study[k] for k in sorted(study)],
+            "swa_rollout_nrmse": swa_study,
         }
         summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps({k: results[k] for k in results}, indent=1), flush=True)

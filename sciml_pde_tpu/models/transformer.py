@@ -313,16 +313,25 @@ class VideoMAEOperator(nn.Module):
 
 
 class VideoMAEOperatorAux(VideoMAEOperator):
-    """Two-head aux variant (reference PretrainVisionTransformerAux):
-    per-pixel Linear(C, C) heads on the last frame, shared trunk.
+    """Aux variant.  Two reference architectures share this class:
+
+    - NS (``Transformer_2D_NS/Ours/transformer_aux.py:25-31``): per-pixel
+      Linear(C, C) ``head_primary``/``head_auxiliary`` on the last frame
+      of the shared trunk (``shared_head=False``, the default).
+    - DR (``Transformer_2D_DR/Ours/transformer_aux_rd.py`` ``ViT2dAux``):
+      NO separate heads — the trunk's reconstruction is returned for both
+      streams and only the loss weighting differs (``shared_head=True``).
 
     __call__(x, x_aux) -> (out_primary (B,H,W,C), out_aux (B2,H,W,C)).
     """
 
+    shared_head: bool = False
+
     def setup(self):
         super().setup()
-        self.head_primary = nn.Dense(self.in_chans, kernel_init=xavier, name="head_primary")
-        self.head_auxiliary = nn.Dense(self.in_chans, kernel_init=xavier, name="head_auxiliary")
+        if not self.shared_head:
+            self.head_primary = nn.Dense(self.in_chans, kernel_init=xavier, name="head_primary")
+            self.head_auxiliary = nn.Dense(self.in_chans, kernel_init=xavier, name="head_auxiliary")
 
     def _trunk_last_frame(self, xn, deterministic):
         b, t, h, w, c = xn.shape
@@ -347,8 +356,11 @@ class VideoMAEOperatorAux(VideoMAEOperator):
             last_p = self._trunk_last_frame(xn, deterministic)
             last_a = self._trunk_last_frame(xan, deterministic)
 
-        out_p = self.head_primary(last_p)
-        out_a = self.head_auxiliary(last_a)
+        if self.shared_head:
+            out_p, out_a = last_p, last_a
+        else:
+            out_p = self.head_primary(last_p)
+            out_a = self.head_auxiliary(last_a)
         out_p = out_p * jnp.squeeze(std_p, (1, 2, 3))[:, None, None] + jnp.squeeze(
             mean_p, (1, 2, 3)
         )[:, None, None]

@@ -118,13 +118,19 @@ def make_transformer_optimizer(
     grad_accum: int = 1,
     scheduler_step: int = 100,
     scheduler_gamma: float = 0.5,
+    swa_start: int | None = None,
+    swa_lr_factor: float = 0.1,
 ) -> optax.GradientTransformation:
     def sched_for(lr):
         base = make_lr_schedule(scheduler, lr, max(total_steps - warmup_steps, 1),
                                 scheduler_step, scheduler_gamma)
         if warmup_steps > 0:
             warm = optax.linear_schedule(0.0, lr, warmup_steps)
-            return optax.join_schedules([warm, base], [warmup_steps])
+            base = optax.join_schedules([warm, base], [warmup_steps])
+        if swa_start is not None:
+            # SWALR semantics: constant lr*factor once the SWA window opens
+            base = optax.join_schedules(
+                [base, optax.constant_schedule(lr * swa_lr_factor)], [swa_start])
         return base
 
     def group_tx(lr):
@@ -238,6 +244,7 @@ class TransformerTrainResult:
     params: Any
     best_val: float
     history: list[dict]
+    swa_params: Any = None  # average of the SWA-window epochs (if swa_frac>0)
 
 
 def run_transformer_training(
@@ -285,6 +292,9 @@ def run_transformer_training(
     log_every: int = 50,
     loss_type: str = "nrmse2",  # nrmse2 (NS trainers) | nrmse (DR trainers)
     fourier_weight: float = 0.0,  # DR published recipe: 0.1
+    aux_shared_head: bool = False,  # DR aux: no separate heads (ViT2dAux)
+    swa_frac: float = 0.0,  # >0: average weights over the last frac of epochs
+    swa_lr_factor: float = 0.1,  # SWALR: constant lr*factor inside the window
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
@@ -336,16 +346,26 @@ def run_transformer_training(
         drop_path_rate=drop_path_rate, use_checkpoint=use_checkpoint,
         dtype=jnp.bfloat16 if bf16 else jnp.float32,
     )
-    model = VideoMAEOperatorAux(**kwargs) if if_aux else VideoMAEOperator(**kwargs)
+    model = (VideoMAEOperatorAux(**kwargs, shared_head=aux_shared_head)
+             if if_aux else VideoMAEOperator(**kwargs))
 
     train_idx = train_w.window_index()
     test_idx = test_w.window_index()
     steps_per_epoch = max(len(train_idx) // batch_size, 1)
     total_steps = epochs * steps_per_epoch // max(grad_accum, 1)
 
+    # SWA window (reference train_transformer_aux_rd.py:139,225-228): the
+    # last ``swa_frac`` of epochs run at a constant ``lr*swa_lr_factor``
+    # and the returned swa_params are the plain average of the per-epoch
+    # weights inside the window.
+    swa_start_ep = epochs - max(int(epochs * swa_frac), 1) if swa_frac > 0 else None
+    swa_start_step = (swa_start_ep * steps_per_epoch // max(grad_accum, 1)
+                      if swa_start_ep is not None else None)
+
     tx = make_transformer_optimizer(
         learning_rate_share, learning_rate_heads, total_steps, scheduler,
         clip=clip, warmup_steps=warmup_steps, grad_accum=grad_accum,
+        swa_start=swa_start_step, swa_lr_factor=swa_lr_factor,
     )
 
     x0, _ = gather_windows(train_w.data, jnp.asarray(train_idx[:1]), initial_step, 1)
@@ -400,6 +420,7 @@ def run_transformer_training(
     history: list[dict] = []
     gstep = 0
     best_state = None
+    swa_params, swa_n = None, 0
     ckpt_dirty = False
     last_ckpt_t = 0.0
     ckpt_min_interval_s = 120.0
@@ -427,6 +448,16 @@ def run_transformer_training(
         if log_every and (gstep // log_every) != ((gstep - nb) // log_every):
             logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)
         tr_sum = float(loss_acc) if loss_acc is not None else 0.0
+
+        if swa_start_ep is not None and ep >= swa_start_ep:
+            # running mean of the per-epoch weights inside the SWA window
+            swa_n += 1
+            if swa_params is None:
+                swa_params = jax.tree_util.tree_map(jnp.copy, params)
+            else:
+                w = 1.0 / swa_n
+                swa_params = jax.tree_util.tree_map(
+                    lambda a, p: a + (p.astype(a.dtype) - a) * w, swa_params, params)
 
         if ep % model_update == 0:
             val_sum, vb = 0.0, 0
@@ -456,4 +487,5 @@ def run_transformer_training(
 
     if ckpt_dirty and best_state is not None:
         save_checkpoint(ckpt_path, best_state[0], best_state[1], best_state[2], best_val)
-    return TransformerTrainResult(params=params, best_val=best_val, history=history)
+    return TransformerTrainResult(params=params, best_val=best_val, history=history,
+                                  swa_params=swa_params)

@@ -105,3 +105,22 @@ def test_loss_variants():
     assert float(transformer_nrmse_perchannel(p2, y2)) > 3 * float(
         transformer_nrmse_sqrt(p2, y2)
     )
+
+
+def test_transformer_aux_shared_head_with_swa(ns_folder, tmp_path):
+    """DR-style aux (ViT2dAux: shared decoder output, no heads) + SWA
+    window: swa_params returned and finite, params carry no head keys."""
+    import jax
+
+    res = run_transformer_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+        train_subsample=(1, 1, 2), num_aux_samples=2,
+        test_range=(250, 251), aux_shared_head=True, swa_frac=0.5,
+        run_dir=str(tmp_path), model_name="t_vmae_swa", **TFK,
+    )
+    assert np.isfinite(res.best_val)
+    assert res.swa_params is not None
+    keys = {k for k in res.params.keys()}
+    assert "head_primary" not in keys and "head_auxiliary" not in keys
+    for leaf in jax.tree_util.tree_leaves(res.swa_params):
+        assert np.isfinite(np.asarray(leaf)).all()
