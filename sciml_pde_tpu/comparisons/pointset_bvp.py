@@ -264,6 +264,7 @@ def run_airfoil_training(
         [np.repeat(np.arange(n), t - time_window - forward_steps + 1),
          np.tile(np.arange(t - time_window - forward_steps + 1), n)], 1
     ).astype(np.int32)
+    batch_size = max(1, min(batch_size, len(idx)))
 
     def gather(rows):
         def one(s, t0):
@@ -336,6 +337,7 @@ def evaluate_airfoil(
         [np.repeat(np.arange(n), t - time_window - forward_steps + 1),
          np.tile(np.arange(t - time_window - forward_steps + 1), n)], 1
     ).astype(np.int32)
+    batch_size = max(1, min(batch_size, len(idx)))
 
     @jax.jit
     def batch_metrics(rows):
