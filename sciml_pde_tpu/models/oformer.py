@@ -243,6 +243,7 @@ class SpatialTemporalEncoder2D(nn.Module):
         scales = [32] + [16] * (self.depth - 2) + [1] if self.depth <= 4 else (
             [32, 16, 8, 8] + [1] * (self.depth - 4)
         )
+        scales = scales[: self.depth] if self.depth > 1 else [1]
         x = GalerkinTransformer(
             self.in_emb_dim, self.depth, self.heads, self.in_emb_dim,
             self.in_emb_dim, scales=tuple(scales), name="s_transformer",
