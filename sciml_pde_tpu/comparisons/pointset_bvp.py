@@ -110,10 +110,20 @@ def run_pointset_training(
     epochs: int = 10,
     learning_rate: float = 8e-4,
     field_weight: float = 0.5,
+    loss_p: int = 1,
+    clip: float | None = None,
+    reference_recipe: bool = False,
     seed: int = 6,
     run_dir: str = "runs/pointset_bvp",
     log_every: int = 100,
 ) -> PointsetResult:
+    """Train the irregular-point-set operator.
+
+    ``reference_recipe=True`` follows the BVP suite exactly
+    (train_electro.py:283-293,366): AdamW(amsgrad, wd 1e-4), OneCycle
+    (div 1e2, pct_start 0.1, final_div 1e4), grad clip 2.0, squared
+    pointwise loss with field weight 1.0.
+    """
     logger = MetricLogger(run_dir, name="pointset_bvp")
     rng = np.random.default_rng(seed)
     n = data["features"].shape[0]
@@ -129,7 +139,26 @@ def run_pointset_training(
     )["params"]
 
     steps = max(epochs * (n // batch_size), 1)
-    tx = optax.adamw(optax.cosine_decay_schedule(learning_rate, steps))
+    if reference_recipe:
+        loss_p, field_weight = 2, 1.0
+        # torch OneCycleLR(div 1e2, pct_start 0.1, final_div 1e4) with the
+        # default cos anneal == warmup+cosine.  (optax's
+        # linear_onecycle_schedule divides by a zero-length interval and
+        # returns NaN when 10% of the step budget rounds to < 1 step.)
+        sched = optax.warmup_cosine_decay_schedule(
+            init_value=learning_rate / 1e2, peak_value=learning_rate,
+            warmup_steps=max(int(0.1 * steps), 1), decay_steps=steps,
+            end_value=learning_rate / 1e4)
+        tx = optax.chain(
+            optax.clip_by_global_norm(clip if clip is not None else 2.0),
+            optax.add_decayed_weights(1e-4),
+            optax.scale_by_amsgrad(),
+            optax.scale_by_learning_rate(sched),
+        )
+    else:
+        tx = optax.adamw(optax.cosine_decay_schedule(learning_rate, steps))
+        if clip is not None:
+            tx = optax.chain(optax.clip_by_global_norm(clip), tx)
     opt_state = tx.init(params)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -141,8 +170,8 @@ def run_pointset_training(
 
         def loss_fn(pp):
             scalar, field = model.apply({"params": pp}, f, c, pm, bm)
-            ls = masked_pointwise_loss(scalar, arrs["scalar"][rows], pm)
-            lf = masked_pointwise_loss(field, arrs["field"][rows], pm)
+            ls = masked_pointwise_loss(scalar, arrs["scalar"][rows], pm, p=loss_p)
+            lf = masked_pointwise_loss(field, arrs["field"][rows], pm, p=loss_p)
             return ls + field_weight * lf, (ls, lf)
 
         (loss, (ls, lf)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -166,17 +195,37 @@ def run_pointset_training(
 
 
 def evaluate_pointset(model, params, data: dict):
-    """Masked L1 of both heads on held-out samples."""
+    """Masked metrics on held-out samples.
+
+    Reports both the masked L1 of each head and the reference BVP suite's
+    test numbers (train_electro.py:440-456): MSE over valid nodes of the
+    potential, of the field (mean of x/y components), and their sum, plus
+    masked relative L2 for scale-free comparison.
+    """
     scalar, field = model.apply(
         {"params": params}, jnp.asarray(data["features"]),
         jnp.asarray(data["coords"]), jnp.asarray(data["pad_mask"]),
         jnp.asarray(data["bound_mask"]),
     )
+    tgt_s, tgt_f = jnp.asarray(data["scalar"]), jnp.asarray(data["field"])
+    pm = jnp.asarray(data["pad_mask"])
+    mse_pot = masked_pointwise_loss(scalar, tgt_s, pm, p=2)
+    mse_field = masked_pointwise_loss(field, tgt_f, pm, p=2)
+    m = pm[..., None].astype(scalar.dtype)
+
+    def rel_l2(pred, tgt):
+        num = jnp.sqrt(jnp.sum((pred - tgt) ** 2 * m))
+        den = jnp.sqrt(jnp.sum(tgt**2 * m)) + 1e-12
+        return num / den
+
     return {
-        "scalar_l1": float(masked_pointwise_loss(
-            scalar, jnp.asarray(data["scalar"]), jnp.asarray(data["pad_mask"]))),
-        "field_l1": float(masked_pointwise_loss(
-            field, jnp.asarray(data["field"]), jnp.asarray(data["pad_mask"]))),
+        "scalar_l1": float(masked_pointwise_loss(scalar, tgt_s, pm)),
+        "field_l1": float(masked_pointwise_loss(field, tgt_f, pm)),
+        "mse_potential": float(mse_pot),
+        "mse_field": float(mse_field),
+        "mse_total": float(mse_pot + 2 * mse_field),
+        "rel_l2_potential": float(rel_l2(scalar, tgt_s)),
+        "rel_l2_field": float(rel_l2(field, tgt_f)),
     }
 
 

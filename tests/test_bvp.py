@@ -58,3 +58,33 @@ def test_pickle_roundtrip(tmp_path):
     assert 50 <= p <= 80
     assert d["pad_mask"].any(axis=1).all()
     assert (d["scalar"][~d["pad_mask"]] == 0).all()
+
+
+def test_reference_recipe_training_on_real_cases(tmp_path):
+    """The BVP study path end to end at tiny scale: real generated cases,
+    reference recipe (squared loss, amsgrad, onecycle, clip 2), finite
+    loss, and the reference MSE test metrics present."""
+    from sciml_pde_tpu.comparisons.pointset_bvp import (
+        evaluate_pointset,
+        run_pointset_training,
+    )
+    from sciml_pde_tpu.models.oformer import OFormerIrreg2D
+
+    cfg = BVPConfig(grid=32, min_points=40, max_points=64)
+    generate_dataset(tmp_path / "electro_train.pkl", 8, cfg)
+    generate_dataset(tmp_path / "electro_test.pkl", 2, cfg, seed0=100)
+    train = load_pointset(tmp_path / "electro_train.pkl")
+    test = load_pointset(tmp_path / "electro_test.pkl")
+
+    res = run_pointset_training(
+        train, latent_channels=16, heads=1, depth=2, batch_size=4,
+        epochs=2, learning_rate=3e-4, reference_recipe=True,
+        run_dir=str(tmp_path), log_every=100,
+    )
+    assert np.isfinite(res.history[-1]["loss"])
+    model = OFormerIrreg2D(input_channels=11, latent_channels=16,
+                           heads=1, depth=2)
+    ev = evaluate_pointset(model, res.params, test)
+    for k in ("mse_potential", "mse_field", "mse_total",
+              "rel_l2_potential", "rel_l2_field"):
+        assert np.isfinite(ev[k]), k
