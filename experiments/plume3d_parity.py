@@ -36,6 +36,10 @@ def main(argv=None):
     p.add_argument("--width", type=int, default=20)
     p.add_argument("--initial-step", type=int, default=10)
     p.add_argument("--skip-gen", action="store_true")
+    p.add_argument("--host-stream", action="store_true",
+                   help="keep the trajectory store in host RAM (the 8-primary "
+                        "full-res store is ~4.3 GB; a single >3 GB device "
+                        "buffer can fault this backend's worker)")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
@@ -95,6 +99,7 @@ def main(argv=None):
             num_channels=4, modes=a.modes, width=a.width,
             initial_step=a.initial_step,
             rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
+            host_stream=a.host_stream,
             run_dir=str(out), model_name=f"plume_{variant}", log_every=200,
             continue_training=a.continue_training or a.eval_only,
             if_training=not a.eval_only,

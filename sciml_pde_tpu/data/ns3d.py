@@ -71,11 +71,13 @@ def load_ns3d_aux(
     rollout_test: int = 1,
     test_seeds=range(275, 300),
     to_device: bool = True,
+    with_aux: bool = True,
 ) -> NS3DAuxDataset:
     """Primary ``_interp`` seeds (excluding ``test_seeds``) + suffix-less
     aux seeds; aux pairing is the default ``p*num_aux_samples + j``
     scheme, so the aux pool must hold ``n_primary * num_aux_samples``
-    trajectories."""
+    trajectories.  ``with_aux=False`` (baseline training) skips loading
+    and validating the aux pool entirely."""
     base = Path(base_path)
     abase = Path(aux_path) if aux_path else base
     test_set = set(int(s) for s in test_seeds)
@@ -89,18 +91,20 @@ def load_ns3d_aux(
     primary = np.stack([_read_pair(base, s, "_interp") for s in train_pool[:n_primary]])
     test = np.stack([_read_pair(base, s, "_interp") for s in sorted(test_set)])
 
-    aux_pool = _available_seeds(abase, "")
-    n_aux = int(train_subsample[2])
-    if len(aux_pool) < n_aux:
-        raise ValueError(f"{len(aux_pool)} aux seeds available < {n_aux}")
-    aux = np.stack([_read_pair(abase, s, "") for s in aux_pool[:n_aux]])
+    aux = None
+    if with_aux:
+        aux_pool = _available_seeds(abase, "")
+        n_aux = int(train_subsample[2])
+        if len(aux_pool) < n_aux:
+            raise ValueError(f"{len(aux_pool)} aux seeds available < {n_aux}")
+        aux = np.stack([_read_pair(abase, s, "") for s in aux_pool[:n_aux]])
 
-    need = n_primary * num_aux_samples
-    if aux.shape[0] < need:
-        raise ValueError(
-            f"aux pool has {aux.shape[0]} trajectories < {n_primary} primary "
-            f"x {num_aux_samples} aux samples"
-        )
+        need = n_primary * num_aux_samples
+        if aux.shape[0] < need:
+            raise ValueError(
+                f"aux pool has {aux.shape[0]} trajectories < {n_primary} primary "
+                f"x {num_aux_samples} aux samples"
+            )
 
     grid = jnp.asarray(unit_grid_3d(*primary.shape[2:5]))
     return NS3DAuxDataset(
@@ -112,9 +116,9 @@ def load_ns3d_aux(
             test, grid, initial_step=initial_step, rollout=rollout_test,
             train=False,
         ),
-        aux_train=WindowedTrajectories(
+        aux_train=(WindowedTrajectories(
             aux, grid, initial_step=initial_step, rollout=rollout_test,
             train=True, to_device=to_device,
-        ),
+        ) if aux is not None else None),
         aux_row_map=None,
     )

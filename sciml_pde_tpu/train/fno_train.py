@@ -346,7 +346,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
-                to_device=not host_stream,
+                to_device=not host_stream, with_aux=False,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
         else:
