@@ -28,6 +28,10 @@ def main(argv=None):
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
     p.add_argument("--continue-training", action="store_true",
                    help="resume from the run_dir checkpoint (tunnel-wedge recovery)")
+    p.add_argument("--host-stream", action="store_true",
+                   help="keep trajectory stores in host RAM (ds256: the "
+                        "256-primary store is 3.4 GB and the 384-aux store "
+                        "5.1 GB — past the ~3 GB device-buffer fault line)")
     a = p.parse_args(argv)
 
     out = Path(a.out)
@@ -39,6 +43,7 @@ def main(argv=None):
             base_path=a.data, aux_path=a.data, epochs=a.epochs,
             run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}",
             log_every=500, continue_training=a.continue_training,
+            host_stream=a.host_stream,
         )
         primary_n = cfg["train_subsample"][0 if variant == "baseline" else 1]
         if primary_n > 90:
