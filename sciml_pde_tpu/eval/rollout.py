@@ -52,6 +52,7 @@ def evaluate_rollout(
     iLow: int = 4,
     iHigh: int = 12,
     params=None,
+    score: str = "final",
 ) -> dict[str, float]:
     """Rollout eval over the test split: six metrics on the final step.
 
@@ -60,6 +61,14 @@ def evaluate_rollout(
     final prediction against the final target frame.  (The reference divides
     accumulated sums by the last batch *index*; we divide by the batch
     count.)
+
+    ``score``: the FNO reference scores only the FINAL unrolled step
+    against the final target frame (metrics.py:337-343, ``yy[...,-1:,:]``)
+    — the default.  The *transformer* rollout evaluators instead score the
+    metric over ALL unrolled frames (Transformer_2D_DR/Baseline_rollout/
+    metrics.py:186-196: ``pred_stack`` of R frames into metric_func, which
+    means over the T axis) — pass ``score="all_steps"`` to compare against
+    the published transformer tables.
 
     If ``params`` is given, ``apply_fn(params, x, grid)`` is used and params
     are passed as a jit argument (closing over device arrays would embed
@@ -78,8 +87,11 @@ def evaluate_rollout(
         gb = jnp.broadcast_to(grid[None], (batch_idx.shape[0],) + grid.shape)
         fn = apply_fn if params is None else (lambda a, b: apply_fn(p, a, b))
         preds = rollout_predict(fn, x, gb, rollout_test)
-        final_pred = preds[..., -1:, :]
-        final_tar = y[..., -1:, :]
+        if score == "all_steps":
+            final_pred, final_tar = preds, y
+        else:
+            final_pred = preds[..., -1:, :]
+            final_tar = y[..., -1:, :]
         # per-unrolled-step RMSE (the reference's val_l2_time / mse_time.npz,
         # metrics.py:384-389,520-525)
         sq = (preds - y) ** 2
