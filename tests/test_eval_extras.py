@@ -52,3 +52,22 @@ def test_export_rollout_trajectories(tmp_path):
     with h5py.File(paths[0]) as f:
         assert f["data"].shape == (3, 12, 12, 2)
         assert np.isfinite(np.asarray(f["data"])).all()
+
+
+def test_all_steps_score_is_cumulative_mean_of_finals():
+    """The transformer reference scores the metric over ALL unrolled
+    frames; by prefix consistency of autoregressive unrolls that equals
+    the cumulative mean of the final-step-per-horizon numbers."""
+    from sciml_pde_tpu.eval.rollout import evaluate_rollout
+
+    test, apply_fn, params = _fixture()
+    # need rollout room: rebuild the window set with rollout=3
+    test3 = WindowedTrajectories(test.data, test.grid, initial_step=4,
+                                 rollout=3, train=False)
+    finals = [evaluate_rollout(apply_fn, test3, rollout_test=k, batch_size=3,
+                               iLow=1, iHigh=3, params=params)["nRMSE"]
+              for k in (1, 2, 3)]
+    all3 = evaluate_rollout(apply_fn, test3, rollout_test=3, batch_size=3,
+                            iLow=1, iHigh=3, params=params,
+                            score="all_steps")["nRMSE"]
+    np.testing.assert_allclose(all3, np.mean(finals), rtol=1e-5)
