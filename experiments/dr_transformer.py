@@ -62,6 +62,9 @@ def main(argv=None):
     p.add_argument("--swa-frac", type=float, default=0.1,
                    help="weight-average window as a fraction of epochs "
                         "(reference aux recipe: last 10%%)")
+    p.add_argument("--early-boost", type=float, default=0.0,
+                   help="over-sample t0<=12 windows with weight 1+boost "
+                        "(v-channel coverage fix; 0 = uniform, the reference)")
     a = p.parse_args(argv)
 
     from sciml_pde_tpu.train.transformer_train import run_transformer_training
@@ -96,6 +99,7 @@ def main(argv=None):
         fourier_weight=a.fourier_weight,
         clip=a.clip,
         use_checkpoint=a.remat,
+        early_window_boost=a.early_boost,
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}

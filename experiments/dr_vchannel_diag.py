@@ -44,6 +44,7 @@ def main(argv=None):
     p.add_argument("--decoder-heads", type=int, default=8)
     p.add_argument("--rollout", type=int, default=3)
     p.add_argument("--t0", type=int, nargs="+", default=[0, 20])
+    p.add_argument("--precisions", nargs="+", default=["bf16", "fp32"])
     p.add_argument("--out", default="runs/dr_transformer_r2/vchannel_diag.json")
     a = p.parse_args(argv)
 
@@ -57,7 +58,7 @@ def main(argv=None):
     print(f"ckpt best_val={best_val:.6f} test={test.shape}", flush=True)
 
     results = {}
-    for prec in ("bf16", "fp32"):
+    for prec in a.precisions:
         model = VideoMAEOperator(
             img_size=128, patch_size=16, tubelet_size=1, in_chans=2,
             num_frames=10, encoder_dim=a.encoder_dim,
@@ -67,9 +68,11 @@ def main(argv=None):
             dtype=jnp.bfloat16 if prec == "bf16" else jnp.float32,
         )
 
-        @jax.jit
+        from functools import partial
+
+        @partial(jax.jit, static_argnums=(2,))
         def roll(pp, x0, steps_tgt):
-            # x0: (B, 10, H, W, C) window; unroll len(steps_tgt) steps
+            # x0: (B, 10, H, W, C) window; unroll steps_tgt steps
             def body(xx, _):
                 pred = model.apply({"params": pp}, xx)  # (B, H, W, C)
                 xx = jnp.concatenate([xx[:, 1:], pred[:, None]], axis=1)

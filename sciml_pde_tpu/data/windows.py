@@ -187,3 +187,23 @@ def epoch_batches(index: np.ndarray, batch_size: int, rng=None):
         return
     for b in range(nb):
         yield index[order[b * batch_size : (b + 1) * batch_size]]
+
+
+def weighted_epoch_batches(index: np.ndarray, batch_size: int, rng,
+                           weights: np.ndarray):
+    """``epoch_batches`` with importance sampling (with replacement).
+
+    Same fixed batch shapes and steps-per-epoch as the uniform sampler;
+    rows are drawn with probability proportional to ``weights``.  Used to
+    over-sample rare window regimes — e.g. the t0~0 DR windows where the
+    inhibitor channel is near zero and otherwise makes up only ~1/91st of
+    the training distribution (see RESULTS.md, v-channel analysis).
+    """
+    index = np.asarray(index)
+    n = len(index)
+    p = np.asarray(weights, np.float64)
+    p = p / p.sum()
+    nb = max(n // batch_size, 1)
+    draws = rng.choice(n, size=nb * batch_size, replace=True, p=p)
+    for b in range(nb):
+        yield index[draws[b * batch_size : (b + 1) * batch_size]]

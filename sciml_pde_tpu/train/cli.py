@@ -19,10 +19,18 @@ import inspect
 from sciml_pde_tpu.utils.config import load_config
 
 
-def _call_with_supported(fn, args: dict, **extra):
+def _call_with_supported(fn, args: dict, override_keys=(), **extra):
     sig = inspect.signature(fn)
     kwargs = {k: v for k, v in args.items() if k in sig.parameters}
     kwargs.update({k: v for k, v in extra.items() if k in sig.parameters})
+    # Config-file keys the trainer doesn't take are dropped silently (the
+    # presets carry FNO-only keys), but an explicit key=value override that
+    # lands nowhere is a user error — fail loudly instead of ignoring it.
+    unknown = [k for k in override_keys if k not in sig.parameters]
+    if unknown:
+        raise SystemExit(
+            f"unknown override(s) for {fn.__name__}: {', '.join(unknown)}"
+        )
     return fn(**kwargs)
 
 
@@ -34,12 +42,16 @@ def _parse(argv):
     return p.parse_args(argv)
 
 
+def _override_keys(a):
+    return [kv.split("=", 1)[0] for kv in a.overrides if "=" in kv]
+
+
 def main(argv=None):
     from sciml_pde_tpu.train.fno_train import run_training
 
     a = _parse(argv)
     cfg = load_config(a.config, a.dataset, a.overrides)
-    return _call_with_supported(run_training, cfg, if_aux=False)
+    return _call_with_supported(run_training, cfg, _override_keys(a), if_aux=False)
 
 
 def main_aux(argv=None):
@@ -47,15 +59,24 @@ def main_aux(argv=None):
 
     a = _parse(argv)
     cfg = load_config(a.config, a.dataset, a.overrides)
-    return _call_with_supported(run_training, cfg, if_aux=True)
+    return _call_with_supported(run_training, cfg, _override_keys(a), if_aux=True)
+
+
+# FNO-config keys that name the same knob differently in the transformer
+# trainer (the reference's per-directory mains each hard-code their own).
+_TRANSFORMER_ALIASES = {"num_channels": "in_chans"}
 
 
 def main_transformer(argv=None):
     from sciml_pde_tpu.train.transformer_train import run_transformer_training
 
     a = _parse(argv)
-    cfg = load_config(a.config, a.dataset, a.overrides)
-    return _call_with_supported(run_transformer_training, cfg)
+    cfg = dict(load_config(a.config, a.dataset, a.overrides))
+    for src, dst in _TRANSFORMER_ALIASES.items():
+        if src in cfg and dst not in cfg:
+            cfg[dst] = cfg.pop(src)
+    keys = [_TRANSFORMER_ALIASES.get(k, k) for k in _override_keys(a)]
+    return _call_with_supported(run_transformer_training, cfg, keys)
 
 
 if __name__ == "__main__":

@@ -295,6 +295,8 @@ def run_transformer_training(
     aux_shared_head: bool = False,  # DR aux: no separate heads (ViT2dAux)
     swa_frac: float = 0.0,  # >0: average weights over the last frac of epochs
     swa_lr_factor: float = 0.1,  # SWALR: constant lr*factor inside the window
+    early_window_boost: float = 0.0,  # >0: over-sample windows with t0 <=
+    early_window_t0: int = 12,        # ..this, weight 1+boost (v-channel fix)
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
@@ -427,9 +429,14 @@ def run_transformer_training(
     for ep in range(start_epoch, epochs):
         # stage the epoch's batches on device up front, accumulate the loss
         # with eager adds — same dispatch-pipeline rules as the FNO trainer
-        dev_batches = [
-            shard_batch(b, mesh) for b in epoch_batches(train_idx, batch_size, rng)
-        ]
+        if early_window_boost > 0:
+            from sciml_pde_tpu.data.windows import weighted_epoch_batches
+
+            w = 1.0 + early_window_boost * (train_idx[:, 1] <= early_window_t0)
+            batches_iter = weighted_epoch_batches(train_idx, batch_size, rng, w)
+        else:
+            batches_iter = epoch_batches(train_idx, batch_size, rng)
+        dev_batches = [shard_batch(b, mesh) for b in batches_iter]
         loss_acc = None
         if if_aux:
             for bidx in dev_batches:

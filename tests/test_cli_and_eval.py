@@ -62,3 +62,30 @@ def test_cli_train_then_eval_pickle_then_csv(dr_folder, tmp_path):
     df = collect(run_dir)
     assert len(df) == 1
     assert np.isfinite(df["nRMSE"].iloc[0])
+
+
+def test_cli_rejects_unknown_override():
+    from sciml_pde_tpu.train.cli import main_transformer
+
+    with pytest.raises(SystemExit, match="bogus_key"):
+        main_transformer(
+            ["--config", "config_dr", "--dataset", "basic_ds4", "bogus_key=1"]
+        )
+
+
+def test_transformer_cli_aliases_num_channels(monkeypatch):
+    from sciml_pde_tpu.train import cli
+
+    seen = {}
+
+    def fake_run(in_chans=None, num_channels=None):
+        seen.update(in_chans=in_chans, num_channels=num_channels)
+
+    monkeypatch.setattr(
+        "sciml_pde_tpu.train.transformer_train.run_transformer_training",
+        fake_run,
+    )
+    cli.main_transformer(["--config", "config_dr", "--dataset", "basic_ds4"])
+    # config_dr carries num_channels: 2 — must land as in_chans for the ViT
+    assert seen["in_chans"] == 2
+    assert seen["num_channels"] is None

@@ -124,3 +124,18 @@ def test_transformer_aux_shared_head_with_swa(ns_folder, tmp_path):
     assert "head_primary" not in keys and "head_auxiliary" not in keys
     for leaf in jax.tree_util.tree_leaves(res.swa_params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_weighted_epoch_batches_oversamples():
+    import numpy as np
+    from sciml_pde_tpu.data.windows import weighted_epoch_batches
+
+    idx = np.array([(n, t) for n in range(2) for t in range(50)])
+    w = 1.0 + 9.0 * (idx[:, 1] <= 10)
+    rng = np.random.default_rng(0)
+    drawn = np.concatenate(list(weighted_epoch_batches(idx, 10, rng, w)))
+    frac_early = float(np.mean(drawn[:, 1] <= 10))
+    # weights: 22 rows at 10x vs 78 at 1x -> expected early fraction
+    # 220/298 = 0.74; uniform would give 0.22
+    assert frac_early > 0.5
+    assert len(drawn) == 100  # same steps-per-epoch as the uniform sampler
