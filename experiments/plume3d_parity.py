@@ -118,6 +118,9 @@ def main(argv=None):
             train_subsample=(1, 1, max(a.n_aux_per, 1)),
             num_aux_samples=a.n_aux_per, initial_step=a.initial_step,
             rollout_test=5, test_seeds=range(*test_range),
+            # keep the 2.1 GB full-length test store in host RAM;
+            # evaluate_rollout device_puts only the 15 frames it needs
+            to_device=False,
         )
         params, best_val = restore_params(out / f"plume_{variant}_ckpt")
         mk = dict(num_channels=4, modes1=a.modes, modes2=a.modes,

@@ -114,7 +114,7 @@ def load_ns3d_aux(
         ),
         primary_test=WindowedTrajectories(
             test, grid, initial_step=initial_step, rollout=rollout_test,
-            train=False,
+            train=False, to_device=to_device,
         ),
         aux_train=(WindowedTrajectories(
             aux, grid, initial_step=initial_step, rollout=rollout_test,

@@ -78,11 +78,16 @@ def evaluate_rollout(
     idx = test.window_index()
     n = len(idx)
     grid = test.grid
-    data = test.data
     initial_step = test.initial_step
+    # Keep only the frames any window can touch, and ship the store as a
+    # jit ARGUMENT: closing over it would embed the whole test tensor as a
+    # compile-time constant (a 4-trajectory 50x50x89x150x4 3D test split is
+    # 2.1 GB — large enough to fault this backend's worker at transfer).
+    span = int(idx[:, 1].max()) + initial_step + rollout_test if n else 0
+    data = jax.device_put(np.asarray(test.data[:, :span]))
 
     @partial(jax.jit, static_argnames=())
-    def batch_metrics(p, batch_idx):
+    def batch_metrics(p, batch_idx, data):
         x, y = gather_windows(data, batch_idx, initial_step, rollout_test)
         gb = jnp.broadcast_to(grid[None], (batch_idx.shape[0],) + grid.shape)
         fn = apply_fn if params is None else (lambda a, b: apply_fn(p, a, b))
@@ -108,7 +113,7 @@ def evaluate_rollout(
     nb = 0
     for b in range(0, n, batch_size):
         chunk = idx[b : b + batch_size]  # last chunk may be ragged (one extra compile)
-        vals, mse_time = batch_metrics(params, jnp.asarray(chunk))
+        vals, mse_time = batch_metrics(params, jnp.asarray(chunk), data)
         sums += np.array([float(v) for v in vals])
         mse_time_sum += np.asarray(mse_time)
         nb += 1
