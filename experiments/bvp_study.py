@@ -26,15 +26,20 @@ def main(argv=None):
     p.add_argument("--n-test", type=int, default=50)
     p.add_argument("--grid", type=int, default=128)
     p.add_argument("--epochs", type=int, default=160)
+    p.add_argument("--iters", type=int, default=0,
+                   help="optimizer-step budget; 0 = epoch-budgeted "
+                        "(reference default is 100k iterations)")
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--latent", type=int, default=64)
     p.add_argument("--kinds", nargs="+", default=["electro", "magneto"])
+    p.add_argument("--tag", default="")
     a = p.parse_args(argv)
 
     from sciml_pde_tpu.comparisons.pointset_bvp import (
         evaluate_pointset,
         run_pointset_training,
+        standardize_features,
     )
     from sciml_pde_tpu.models.oformer import OFormerIrreg2D
     from sciml_pde_tpu.sim.bvp_2d import BVPConfig, generate_dataset, load_pointset
@@ -56,6 +61,9 @@ def main(argv=None):
         gen_s = time.time() - t0
         train = load_pointset(train_p)
         test = load_pointset(test_p)
+        # standardize features from TRAIN stats (the raw on-disk source
+        # density column reaches O(1e3); see standardize_features)
+        train, test, _stats = standardize_features(train, test)
         print(f"{kind}: train {train['features'].shape} test "
               f"{test['features'].shape} (gen {gen_s:.0f}s)", flush=True)
 
@@ -64,6 +72,7 @@ def main(argv=None):
             train, latent_channels=a.latent, heads=1, depth=2,
             batch_size=a.batch_size, epochs=a.epochs, learning_rate=a.lr,
             reference_recipe=True, run_dir=str(out), log_every=200,
+            total_steps=a.iters or None,
         )
         train_s = time.time() - t0
         model = OFormerIrreg2D(
@@ -71,11 +80,13 @@ def main(argv=None):
             latent_channels=a.latent, heads=1, depth=2,
         )
         ev = evaluate_pointset(model, res.params, test)
-        results[kind] = {
+        key = f"{kind}_{a.tag}" if a.tag else kind
+        results[key] = {
             **ev, "gen_seconds": gen_s, "train_seconds": train_s,
             "final_train_loss": res.history[-1]["loss"],
+            "iters": a.iters or a.epochs * (train["features"].shape[0] // a.batch_size),
         }
-        print(kind, json.dumps(results[kind], indent=1), flush=True)
+        print(key, json.dumps(results[key], indent=1), flush=True)
         summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1), flush=True)
 

@@ -86,6 +86,36 @@ def synthetic_electrostatics(
                 bound_mask=bound, scalar=phi, field=efield)
 
 
+def standardize_features(train: dict, *others: dict):
+    """Per-column feature standardization from TRAIN-set statistics.
+
+    The reference BVP loader standard-scales its FEM export before
+    training (``dataset_new.py`` keeps per-column statistics; its
+    proprietary export arrives pre-scaled).  Our regenerated data keeps
+    raw physics on disk (``sim/bvp_2d.py``: the source-density column
+    reaches O(1e3)), so scaling is a loader concern: compute mean/std per
+    feature column over VALID (non-pad) train nodes, apply to train and
+    any held-out splits, and re-zero pad rows so padding stays inert.
+
+    Returns ``(train', *others', stats)`` with ``stats = (mean, std)``.
+    """
+    m = train["pad_mask"][..., None].astype(np.float64)
+    f = train["features"].astype(np.float64)
+    denom = np.maximum(m.sum(axis=(0, 1)), 1.0)
+    mean = (f * m).sum(axis=(0, 1)) / denom
+    var = (((f - mean) ** 2) * m).sum(axis=(0, 1)) / denom
+    std = np.maximum(np.sqrt(var), 1e-6)
+
+    def apply(d):
+        out = dict(d)
+        g = (d["features"] - mean.astype(np.float32)) / std.astype(np.float32)
+        out["features"] = (g * d["pad_mask"][..., None]).astype(np.float32)
+        return out
+
+    scaled = [apply(train)] + [apply(o) for o in others]
+    return (*scaled, (mean.astype(np.float32), std.astype(np.float32)))
+
+
 def masked_pointwise_loss(pred, target, mask, p: int = 1):
     """Reference pointwise_rel_loss (train_electro.py:128-141) with pad
     masking: mean |pred - target|^p over valid nodes."""
@@ -116,6 +146,7 @@ def run_pointset_training(
     seed: int = 6,
     run_dir: str = "runs/pointset_bvp",
     log_every: int = 100,
+    total_steps: int | None = None,
 ) -> PointsetResult:
     """Train the irregular-point-set operator.
 
@@ -123,6 +154,10 @@ def run_pointset_training(
     (train_electro.py:283-293,366): AdamW(amsgrad, wd 1e-4), OneCycle
     (div 1e2, pct_start 0.1, final_div 1e4), grad clip 2.0, squared
     pointwise loss with field weight 1.0.
+
+    ``total_steps``: optimizer-step budget, overriding ``epochs`` — the
+    reference trains iteration-budgeted (train_electro.py: 100k iters by
+    default), not epoch-budgeted; epochs then just bounds the loop.
     """
     logger = MetricLogger(run_dir, name="pointset_bvp")
     rng = np.random.default_rng(seed)
@@ -138,7 +173,9 @@ def run_pointset_training(
         arrs["pad_mask"][:1], arrs["bound_mask"][:1],
     )["params"]
 
-    steps = max(epochs * (n // batch_size), 1)
+    steps_per_epoch = max(n // batch_size, 1)
+    steps = total_steps if total_steps else max(epochs * steps_per_epoch, 1)
+    epochs = -(-steps // steps_per_epoch)  # enough epochs to cover the budget
     if reference_recipe:
         loss_p, field_weight = 2, 1.0
         # torch OneCycleLR(div 1e2, pct_start 0.1, final_div 1e4) with the
@@ -182,6 +219,8 @@ def run_pointset_training(
     for ep in range(epochs):
         order = rng.permutation(n)
         for b in range(0, n - batch_size + 1, batch_size):
+            if gstep >= steps:
+                break
             params, opt_state, loss, ls, lf = step(
                 params, opt_state, jnp.asarray(order[b : b + batch_size])
             )
@@ -191,6 +230,8 @@ def run_pointset_training(
                            field=float(lf), epoch=ep)
         history.append({"epoch": ep, "loss": float(loss),
                         "scalar_loss": float(ls), "field_loss": float(lf)})
+        if gstep >= steps:
+            break
     return PointsetResult(params=params, history=history)
 
 

@@ -88,3 +88,59 @@ def test_reference_recipe_training_on_real_cases(tmp_path):
     for k in ("mse_potential", "mse_field", "mse_total",
               "rel_l2_potential", "rel_l2_field"):
         assert np.isfinite(ev[k]), k
+
+
+def test_standardize_features_train_stats_applied_to_test(tmp_path):
+    """Per-column stats come from valid TRAIN nodes only; train columns
+    become ~zero-mean/unit-std over valid nodes, test uses the same
+    affine map, and pad rows stay exactly zero."""
+    from sciml_pde_tpu.comparisons.pointset_bvp import standardize_features
+
+    cfg = BVPConfig(grid=32, min_points=40, max_points=64)
+    generate_dataset(tmp_path / "tr.pkl", 6, cfg)
+    generate_dataset(tmp_path / "te.pkl", 2, cfg, seed0=50)
+    train = load_pointset(tmp_path / "tr.pkl")
+    test = load_pointset(tmp_path / "te.pkl")
+    raw_test = test["features"].copy()
+
+    tr, te, (mean, std) = standardize_features(train, test)
+
+    m = tr["pad_mask"][..., None]
+    f = tr["features"]
+    valid = np.broadcast_to(m, f.shape)
+    col_mean = (f * m).sum((0, 1)) / m.sum((0, 1))
+    assert np.allclose(col_mean, 0.0, atol=1e-4)
+    # constant-ish columns may have tiny raw std; skip those for the std check
+    big = std > 1e-3
+    col_std = np.sqrt(((f - col_mean) ** 2 * m).sum((0, 1)) / m.sum((0, 1)))
+    assert np.allclose(col_std[big], 1.0, atol=1e-3)
+    # same affine map on test (valid nodes)
+    vm = te["pad_mask"]
+    expect = (raw_test[vm] - mean) / std
+    assert np.allclose(te["features"][vm], expect, atol=1e-5)
+    # pad rows inert
+    assert np.all(tr["features"][~tr["pad_mask"]] == 0.0)
+    assert np.all(te["features"][~vm] == 0.0)
+    # inputs untouched
+    assert np.array_equal(test["features"], raw_test)
+
+
+def test_total_steps_budget_overrides_epochs(tmp_path):
+    """total_steps stops the loop exactly at the budget."""
+    from sciml_pde_tpu.comparisons.pointset_bvp import run_pointset_training
+
+    cfg = BVPConfig(grid=32, min_points=40, max_points=64)
+    generate_dataset(tmp_path / "tr.pkl", 8, cfg)
+    train = load_pointset(tmp_path / "tr.pkl")
+    res = run_pointset_training(
+        train, latent_channels=8, heads=1, depth=1, batch_size=4,
+        epochs=1, learning_rate=3e-4, run_dir=str(tmp_path),
+        total_steps=3, log_every=1,
+    )
+    import json as _json
+    rows = [
+        _json.loads(l)
+        for l in open(f"{tmp_path}/pointset_bvp.jsonl")
+    ]
+    assert rows[-1]["step"] == 3
+    assert np.isfinite(res.history[-1]["loss"])
