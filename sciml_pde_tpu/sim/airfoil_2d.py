@@ -302,7 +302,12 @@ def simulate(cfg: AirfoilConfig, smooth_cells: int = 2):
         return jax.lax.fori_loop(0, n, lambda i, u: step(u), U)
 
     U = jnp.asarray(U0)
-    U = advance(U, n_settle)
+    # the axon TPU worker faults on single jitted loops of >~2k 2D stencil
+    # steps (PERFORMANCE.md quirks) — chunk the settle phase host-side;
+    # ``n`` is a traced argument so every chunk reuses one compilation
+    chunk = 1024
+    for s in range(0, n_settle, chunk):
+        U = advance(U, min(chunk, n_settle - s))
 
     frames = np.zeros((cfg.n_frames, 4, cfg.nx, cfg.ny), np.float32)
 
