@@ -107,9 +107,9 @@ PANELS = [
         key=("2D_NS", "Transformer"),
         title="2D incompressible NS, Transformer",
         base=lambda: _load("runs/ns_transformer/summary.json",
-                           "baseline", "rollout_nrmse_allsteps"),
+                           "ns_baseline", "rollout_nrmse_allsteps"),
         aux=lambda: _load("runs/ns_transformer/summary.json",
-                          "aux", "rollout_nrmse_allsteps"),
+                          "ns_aux", "rollout_nrmse_allsteps"),
     ),
 ]
 

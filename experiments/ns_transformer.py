@@ -53,6 +53,10 @@ def main(argv=None):
     p.add_argument("--clip", type=float, default=5.0)
     p.add_argument("--warmup-frac", type=float, default=0.0)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--host-stream", action="store_true",
+                   help="stream window batches from host RAM (the aux "
+                        "pairing at num_aux_samples=6 is ~9.5 GB of "
+                        "stores, past the ~3 GB device-buffer fault line)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="")
     p.add_argument("--continue-training", action="store_true")
@@ -94,6 +98,7 @@ def main(argv=None):
         clip=a.clip,
         use_checkpoint=a.remat,
         test_range=(250, 250 + a.n_test),
+        host_stream=a.host_stream,
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}

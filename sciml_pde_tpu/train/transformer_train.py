@@ -202,6 +202,23 @@ def build_transformer_aux_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, (loss, lp, la), g_norm
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_xy(params, opt_state, x, y, xa, ya):
+        """Host-streaming variant: windows arrive pre-gathered
+        (data/stream.AuxHostWindowLoader) for stores beyond one chip's
+        HBM — e.g. the NS aux pairing at 6 files x 1.6 GB."""
+        x, xa = _to_tf_layout(x), _to_tf_layout(xa)
+        yf, yaf = y[..., 0, :], ya[..., 0, :]
+        (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, x, yf, xa, yaf
+        )
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, (loss, lp, la), g_norm
+
+    step.xy = step_xy
+
     @jax.jit
     def val_primary(params, data_p, idx):
         x, y = gather_windows(data_p, idx, initial_step, 1)
@@ -230,6 +247,19 @@ def build_transformer_baseline_step(model, tx, initial_step: int,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss_v, g_norm
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_xy(params, opt_state, x, y):
+        """Host-streaming variant: windows arrive pre-gathered
+        (data/stream.HostWindowLoader)."""
+        x = _to_tf_layout(x)
+        loss_v, grads = jax.value_and_grad(loss_fn)(params, x, y[..., 0, :])
+        g_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_v, g_norm
+
+    step.xy = step_xy
 
     @jax.jit
     def val(params, data, idx):
@@ -297,6 +327,9 @@ def run_transformer_training(
     swa_lr_factor: float = 0.1,  # SWALR: constant lr*factor inside the window
     early_window_boost: float = 0.0,  # >0: over-sample windows with t0 <=
     early_window_t0: int = 12,        # ..this, weight 1+boost (v-channel fix)
+    host_stream: bool = False,  # keep the train stores in host RAM and
+    # stream pre-gathered window batches (stores beyond one chip's HBM;
+    # the NS aux pairing at reference num_aux_samples=6 is ~9.5 GB)
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
@@ -312,6 +345,7 @@ def run_transformer_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
+                to_device=not host_stream,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
             aux_row_map = ds.aux_row_map
@@ -320,6 +354,7 @@ def run_transformer_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 sim_name=sim_name, test_range=test_range,
+                to_device=not host_stream,
             )
             train_w, test_w, ds = d.train, d.test, d
     else:
@@ -330,12 +365,14 @@ def run_transformer_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, if_downsample=if_downsample,
+                to_device=not host_stream,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
         else:
             d = load_dr_baseline(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
+                to_device=not host_stream,
             )
             train_w, test_w, ds = d.train, d.test, d
 
@@ -419,6 +456,26 @@ def run_transformer_training(
         start_epoch = int(restored["meta"]["epoch"])
         best_val = float(restored["meta"]["loss"])
 
+    stream_loader = None
+    if host_stream:
+        if early_window_boost > 0:
+            raise NotImplementedError(
+                "early_window_boost with host_stream: the stream loader "
+                "controls sampling; use the device-store path for the DR "
+                "early-window study"
+            )
+        from sciml_pde_tpu.data.stream import AuxHostWindowLoader, HostWindowLoader
+
+        if if_aux:
+            stream_loader = AuxHostWindowLoader(
+                train_w.data, ds.aux_train.data, train_idx, initial_step, 1,
+                batch_size, num_aux_samples, row_map=aux_row_map, seed=seed,
+            )
+        else:
+            stream_loader = HostWindowLoader(
+                train_w.data, train_idx, initial_step, 1, batch_size, seed=seed,
+            )
+
     history: list[dict] = []
     gstep = 0
     best_state = None
@@ -429,28 +486,45 @@ def run_transformer_training(
     for ep in range(start_epoch, epochs):
         # stage the epoch's batches on device up front, accumulate the loss
         # with eager adds — same dispatch-pipeline rules as the FNO trainer
-        if early_window_boost > 0:
-            from sciml_pde_tpu.data.windows import weighted_epoch_batches
-
-            w = 1.0 + early_window_boost * (train_idx[:, 1] <= early_window_t0)
-            batches_iter = weighted_epoch_batches(train_idx, batch_size, rng, w)
-        else:
-            batches_iter = epoch_batches(train_idx, batch_size, rng)
-        dev_batches = [shard_batch(b, mesh) for b in batches_iter]
         loss_acc = None
-        if if_aux:
-            for bidx in dev_batches:
-                params, opt_state, (loss, lp, la), g_norm = step_fn(
-                    params, opt_state, train_w.data, ds.aux_train.data, bidx
-                )
+        if host_stream:
+            nb = 0
+            for batch in stream_loader:
+                batch = shard_batch(batch, mesh)
+                if if_aux:
+                    x, y, xa, ya = batch
+                    params, opt_state, (loss, lp, la), g_norm = step_fn.xy(
+                        params, opt_state, x, y, xa, ya
+                    )
+                else:
+                    x, y = batch
+                    params, opt_state, loss, g_norm = step_fn.xy(
+                        params, opt_state, x, y
+                    )
                 loss_acc = loss if loss_acc is None else loss_acc + loss
+                nb += 1
         else:
-            for bidx in dev_batches:
-                params, opt_state, loss, g_norm = step_fn(
-                    params, opt_state, train_w.data, bidx
-                )
-                loss_acc = loss if loss_acc is None else loss_acc + loss
-        nb = len(dev_batches)
+            if early_window_boost > 0:
+                from sciml_pde_tpu.data.windows import weighted_epoch_batches
+
+                w = 1.0 + early_window_boost * (train_idx[:, 1] <= early_window_t0)
+                batches_iter = weighted_epoch_batches(train_idx, batch_size, rng, w)
+            else:
+                batches_iter = epoch_batches(train_idx, batch_size, rng)
+            dev_batches = [shard_batch(b, mesh) for b in batches_iter]
+            if if_aux:
+                for bidx in dev_batches:
+                    params, opt_state, (loss, lp, la), g_norm = step_fn(
+                        params, opt_state, train_w.data, ds.aux_train.data, bidx
+                    )
+                    loss_acc = loss if loss_acc is None else loss_acc + loss
+            else:
+                for bidx in dev_batches:
+                    params, opt_state, loss, g_norm = step_fn(
+                        params, opt_state, train_w.data, bidx
+                    )
+                    loss_acc = loss if loss_acc is None else loss_acc + loss
+            nb = len(dev_batches)
         gstep += nb
         if log_every and (gstep // log_every) != ((gstep - nb) // log_every):
             logger.log(gstep, train_loss=float(loss), grad_norm=float(g_norm), epoch=ep)

