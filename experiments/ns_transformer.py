@@ -157,12 +157,22 @@ def main(argv=None):
             print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
         final_seq = [study[k] for k in sorted(study)]
         cum_mean = [float(np.mean(final_seq[: i + 1])) for i in range(len(final_seq))]
+        # all four published metric conventions in one pass — the published
+        # transformer tables are joint-normalized over all unrolled frames
+        # (established by experiments/dr_convention_eval.py on DR)
+        from sciml_pde_tpu.eval.rollout import convention_table
+
+        conventions = convention_table(apply_fn, ds.test, rollout_test=5,
+                                       params=params, batch_size=2)
+        print("joint/all-steps:",
+              " ".join(f"{v:.4f}" for v in conventions["joint_all"]), flush=True)
         results[key] = {
             "best_val": float(best_val),
             "train_seconds": train_s,
             "val_history": [h.get("val_loss") for h in res.history] if res else None,
             "rollout_nrmse": final_seq,
             "rollout_nrmse_allsteps": cum_mean,
+            "conventions": conventions,
         }
         summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1), flush=True)

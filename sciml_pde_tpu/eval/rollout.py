@@ -44,6 +44,70 @@ def rollout_predict(
     return jnp.moveaxis(preds, 0, -2)
 
 
+def convention_table(
+    apply_fn: Callable,
+    test: WindowedTrajectories,
+    rollout_test: int,
+    params=None,
+    batch_size: int = 8,
+) -> dict[str, list[float]]:
+    """Rollout-k nRMSE under all four published metric conventions.
+
+    The published FNO tables score metric_func (per-channel-normalized)
+    on the FINAL unrolled step (metrics.py:337-343); the published
+    transformer tables score nRMSE normalized JOINTLY over (C,spatial)
+    on ALL unrolled frames (train_transformer_rd.py:64-70 normalization
+    + Baseline_rollout/metrics.py:186-196 frame stacking — established
+    by experiments/dr_convention_eval.py, where the joint/all row lands
+    on the published DR transformer table).  Returns
+    ``{joint_final, joint_all, perch_final, perch_all}`` -> list over
+    rollout horizons 1..rollout_test, averaged over all test windows.
+    """
+    idx = test.window_index()
+    initial_step = test.initial_step
+    grid = test.grid
+    span = int(idx[:, 1].max()) + initial_step + rollout_test if len(idx) else 0
+    data = jax.device_put(np.asarray(test.data[:, :span]))
+
+    @jax.jit
+    def batch_rows(p, batch_idx, data):
+        x, y = gather_windows(data, batch_idx, initial_step, rollout_test)
+        gb = jnp.broadcast_to(grid[None], (batch_idx.shape[0],) + grid.shape)
+        fn = apply_fn if params is None else (lambda a, b: apply_fn(p, a, b))
+        preds = rollout_predict(fn, x, gb, rollout_test)  # (B,*sp,R,C)
+        sp = tuple(range(1, preds.ndim - 2))  # spatial axes
+
+        def joint(pred, tgt, axes):
+            mse = jnp.mean((pred - tgt) ** 2, axis=axes)
+            den = jnp.mean(tgt**2, axis=axes) + 1e-7
+            return jnp.mean(jnp.sqrt(mse) / jnp.sqrt(den))
+
+        def perch(pred, tgt, axes):
+            rmse = jnp.sqrt(jnp.mean((pred - tgt) ** 2, axis=axes))
+            den = jnp.sqrt(jnp.mean(tgt**2, axis=axes)) + 1e-7
+            return jnp.mean(rmse / den)
+
+        rows = {k: [] for k in ("joint_final", "joint_all", "perch_final", "perch_all")}
+        for k in range(rollout_test):
+            pf, tf = preds[..., k, :], y[..., k, :]
+            pa, ta = preds[..., : k + 1, :], y[..., : k + 1, :]
+            rows["joint_final"].append(joint(pf, tf, sp + (preds.ndim - 2,)))
+            rows["perch_final"].append(perch(pf, tf, sp))
+            # all-steps: the time axis folds into the reduction
+            rows["joint_all"].append(joint(pa, ta, sp + (preds.ndim - 2, preds.ndim - 1)))
+            rows["perch_all"].append(perch(pa, ta, sp + (preds.ndim - 2,)))
+        return {k: jnp.stack(v) for k, v in rows.items()}
+
+    sums = {k: np.zeros(rollout_test) for k in ("joint_final", "joint_all", "perch_final", "perch_all")}
+    nb = 0
+    for b in range(0, len(idx), batch_size):
+        rows = batch_rows(params, jnp.asarray(idx[b : b + batch_size]), data)
+        for k, v in rows.items():
+            sums[k] += np.asarray(v)
+        nb += 1
+    return {k: (v / max(nb, 1)).tolist() for k, v in sums.items()}
+
+
 def evaluate_rollout(
     apply_fn: Callable,
     test: WindowedTrajectories,
