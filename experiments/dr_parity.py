@@ -32,19 +32,27 @@ def main(argv=None):
                    help="keep trajectory stores in host RAM (ds256: the "
                         "256-primary store is 3.4 GB and the 384-aux store "
                         "5.1 GB — past the ~3 GB device-buffer fault line)")
+    p.add_argument("--seed", type=int, default=None,
+                   help="training seed; the reference sweeps {16, 99, 17} "
+                        "(run_forward_rd.sh) and its published table may be "
+                        "a seed aggregate — vary this to measure the spread")
     a = p.parse_args(argv)
 
     out = Path(a.out)
     out.mkdir(parents=True, exist_ok=True)
-    results = {}
+    summary_path = out / "summary.json"
+    results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
     for variant in a.variants:
         cfg = load_config("config_dr", a.dataset)
+        suffix = f"_s{a.seed}" if a.seed is not None else ""
         cfg.update(
             base_path=a.data, aux_path=a.data, epochs=a.epochs,
-            run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}",
+            run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}{suffix}",
             log_every=500, continue_training=a.continue_training,
             host_stream=a.host_stream,
         )
+        if a.seed is not None:
+            cfg["seed"] = a.seed
         primary_n = cfg["train_subsample"][0 if variant == "baseline" else 1]
         if primary_n > 90:
             # the primary file holds 90 train seeds; ds128+ extends the
@@ -81,9 +89,9 @@ def main(argv=None):
 
         study = rollout_study(
             apply_fn, res.params, ds.test, horizons=(1, 2, 3, 4, 5),
-            batch_size=5, out_path=out / f"rollout_{a.dataset}_{variant}.json",
+            batch_size=5, out_path=out / f"rollout_{a.dataset}_{variant}{suffix}.json",
         )
-        results[variant] = {
+        results[variant + suffix] = {
             "best_val": float(res.best_val),
             "train_seconds": train_s,
             "rollout_nrmse": [study[k]["nRMSE"] for k in sorted(study)],
