@@ -58,8 +58,12 @@ def main(argv=None):
                         "long scans fault some TPU runtimes)")
     p.add_argument("--skip-gen", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--tag", default="",
+                   help="suffix for model_name/summary keys (e.g. aux-volume "
+                        "sweeps over --n-aux-per reusing one data folder)")
     p.add_argument("--out", default="runs/ns_production")
     a = p.parse_args(argv)
+    tag = f"_{a.tag}" if a.tag else ""
 
     folder = Path(a.folder)
     if not a.skip_gen:
@@ -104,7 +108,7 @@ def main(argv=None):
             num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
             num_channels=3, modes=12, width=20, initial_step=10,
             batch_size=a.batch_size, epochs=a.epochs, host_stream=a.host_stream,
-            run_dir=str(out), model_name=f"ns_prod_{variant}", log_every=500,
+            run_dir=str(out), model_name=f"ns_prod_{variant}{tag}", log_every=500,
         )
         train_s = time.time() - t0
         print(f"{variant}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
@@ -126,8 +130,8 @@ def main(argv=None):
                 return model.apply({"params": pp}, x, g)
 
         study = rollout_study(apply_fn, res.params, ds.test, horizons=(1, 2, 3, 4, 5),
-                              batch_size=4, out_path=out / f"rollout_{variant}.json")
-        results[variant] = {
+                              batch_size=4, out_path=out / f"rollout_{variant}{tag}.json")
+        results[variant + tag] = {
             "best_val": float(res.best_val),
             "train_seconds": train_s,
             "rollout_nrmse": [study[k]["nRMSE"] for k in sorted(study)],
