@@ -3,7 +3,9 @@
 The reference's production NS datasets are 256^2 x 1000-frame trajectories
 (4/batch per file), dt 5e-5, frame_int 100, nu 0.05 (`data_gen/configs/
 ns_incomp.yaml:10-58`); training follows config_ns (initial_step 10,
-batch 2, 20 epochs, cosine).  This driver generates a basic_dsN-scale
+batch 16 baseline / 8 aux, 20 epochs, cosine; config_ns.yaml:19,27 —
+note the reference aux step is 8 primary + 8*num_aux_samples aux
+samples).  This driver generates a basic_dsN-scale
 family of those files on device (full-physics primaries + convection-only
 aux + test files at index 250+), trains baseline and aux FNO, and runs
 the rollout study.
@@ -51,7 +53,10 @@ def main(argv=None):
     p.add_argument("--n-aux-per", type=int, default=3)
     p.add_argument("--n-test", type=int, default=1)
     p.add_argument("--epochs", type=int, default=20)
-    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="0 = reference per-variant defaults (16 baseline / "
+                        "8 aux, config_ns.yaml:19); the round-2 NS table "
+                        "was trained at an explicit 2")
     p.add_argument("--host-stream", action="store_true")
     p.add_argument("--frames-per-chunk", type=int, default=20,
                    help="frames per jit call during generation (0 = single scan; "
@@ -101,13 +106,14 @@ def main(argv=None):
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
     for variant in a.variants:
         t0 = time.time()
+        batch = a.batch_size or (8 if variant == "aux" else 16)
         res = run_training(
             base_path=str(folder), aux_path=str(folder), dataset_family="ns",
             if_aux=(variant == "aux"),
             train_subsample=(a.n_primary, a.n_primary, a.n_primary * a.n_aux_per),
             num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
             num_channels=3, modes=12, width=20, initial_step=10,
-            batch_size=a.batch_size, epochs=a.epochs, host_stream=a.host_stream,
+            batch_size=batch, epochs=a.epochs, host_stream=a.host_stream,
             run_dir=str(out), model_name=f"ns_prod_{variant}{tag}", log_every=500,
         )
         train_s = time.time() - t0
