@@ -18,7 +18,14 @@ TPU-first design notes:
     the TurboFNO "fused FFT-GEMM-iFFT" idea expressed as dense GEMMs, which
     on TPU beats a full XLA FFT over a mostly-zero spectrum (and avoids the
     FFT op entirely).  ``impl="fft"`` keeps the jnp.fft path for
-    cross-checking; both are bit-compatible within float tolerance.
+    cross-checking; both are bit-compatible within float tolerance;
+  - ``impl="dft2"`` packs every complex contraction of the "dft" chain into
+    ONE real matmul with the block-structured factor [[Br, Bi], [-Bi, Br]]
+    (the real embedding of complex multiplication): identical FLOPs, but a
+    2D layer is 5 dot_generals instead of 14 real einsums (a 3D layer 7
+    instead of 22), so the dispatch/launch overhead that dominates this
+    small-shape, latency-bound regime shrinks ~3x.  Selectable per call or
+    globally via SCIML_SPECTRAL_IMPL={dft,dft2,fft}.
 """
 
 from __future__ import annotations
@@ -47,6 +54,18 @@ def set_dft_precision(name: str) -> None:
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[name.lower()]
+
+
+# Module-default implementation of the spectral conv (models pass impl=None).
+_DEFAULT_IMPL = os.environ.get("SCIML_SPECTRAL_IMPL", "dft").lower()
+
+
+def set_spectral_impl(name: str) -> None:
+    """Set the process-wide default impl ("dft" | "dft2" | "fft")."""
+    global _DEFAULT_IMPL
+    if name.lower() not in ("dft", "dft2", "fft"):
+        raise ValueError(f"unknown spectral impl {name!r}")
+    _DEFAULT_IMPL = name.lower()
 
 
 def _as_complex(w: jnp.ndarray) -> jnp.ndarray:
@@ -115,13 +134,62 @@ def _corner_rows(n: int, m: int) -> tuple[int, ...]:
     return tuple(range(m)) + tuple(range(n - m, n))
 
 
+# --------------------------------------------------------------------------
+# "dft2" factors: the real embedding of complex multiplication.  A complex
+# contraction y = x @ F becomes one real contraction over a doubled axis with
+# the block factor [[Fr, Fi], [-Fi, Fr]]: y_re = xr Fr - xi Fi,
+# y_im = xr Fi + xi Fr.  All factor blocks are precomputed numpy constants.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _dft2_real_axis(n: int, modes: int):
+    """rfft-like axis of a REAL signal.  Returns (fwd, inv):
+    fwd (n, 2, modes): real input -> stacked (re, im) mode axis;
+    inv (2, modes, n): Hermitian-weighted inverse keeping only Re[output]."""
+    (fr, fi), (ir, ii) = _dft_factors_1d(n, modes, None)
+    fwd = np.stack([fr, fi], axis=1).astype(np.float32)  # "nsk"
+    inv = np.stack([ir, -ii], axis=0).astype(np.float32)  # "skn"
+    return fwd, inv
+
+
+@functools.lru_cache(maxsize=128)
+def _dft2_corner_axis(n: int, m: int):
+    """Full-complex corner axis (rows [0..m-1] ∪ [n-m..n-1]).  Returns
+    (fwd, inv) block factors:
+    fwd (2, n, 2, 2m): complex input (complexity s) x complex e^{-i...}
+      -> complexity t on the 2m retained rows;
+    inv (2, 2m, 2, n): the adjoint pair back to physical length n."""
+    rows = _corner_rows(n, m)
+    (fr, fi), (ir, ii) = _dft_factors_1d(n, 2 * m, rows)
+    fwd = np.empty((2, n, 2, 2 * m), np.float32)
+    fwd[0, :, 0] = fr
+    fwd[0, :, 1] = fi
+    fwd[1, :, 0] = -fi
+    fwd[1, :, 1] = fr
+    inv = np.empty((2, 2 * m, 2, n), np.float32)
+    inv[0, :, 0] = ir
+    inv[0, :, 1] = ii
+    inv[1, :, 0] = -ii
+    inv[1, :, 1] = ir
+    return fwd, inv
+
+
+def _weight_block(wr: jnp.ndarray, wi: jnp.ndarray) -> jnp.ndarray:
+    """(Ci, Co, *modes) complex weight pair -> (2, Ci, 2, Co, *modes) block
+    [[wr, wi], [-wi, wr]] (contraction over (t, Ci), output (u, Co))."""
+    return jnp.stack(
+        [jnp.stack([wr, wi], axis=1), jnp.stack([-wi, wr], axis=1)], axis=0
+    )
+
+
 def spectral_conv_2d(
     x: jnp.ndarray,
     w1: jnp.ndarray,
     w2: jnp.ndarray,
     modes1: int,
     modes2: int,
-    impl: str = "dft",
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """2D spectral convolution.
 
@@ -131,6 +199,7 @@ def spectral_conv_2d(
         low-frequency (rows [:m1]) and high-frequency (rows [-m1:]) blocks.
     Returns: (B, H, W, Cout) real.
     """
+    impl = impl or _DEFAULT_IMPL
     h, w = x.shape[1], x.shape[2]
     if impl == "fft":
         xf = jnp.fft.rfft2(x, axes=(1, 2))  # (B, H, W//2+1, Cin)
@@ -142,6 +211,25 @@ def spectral_conv_2d(
         out_ft = out_ft.at[:, :modes1, :modes2].set(top)
         out_ft = out_ft.at[:, h - modes1 :, :modes2].set(bot)
         return jnp.fft.irfft2(out_ft, s=(h, w), axes=(1, 2))
+
+    if impl == "dft2":
+        # ---- block-complex single-matmul path (5 dot_generals total) -----
+        prec = _PRECISION
+        fw, vw = (jnp.asarray(a) for a in _dft2_real_axis(w, modes2))
+        gh, gi = (jnp.asarray(a) for a in _dft2_corner_axis(h, modes1))
+        # W-axis partial rDFT of the real signal -> complexity axis s
+        xw = jnp.einsum("bhwc,wsk->bhskc", x, fw, precision=prec)
+        # H-axis corner DFT: contract (s, h) jointly -> complexity t
+        xf = jnp.einsum("bhskc,shtr->btrkc", xw, gh, precision=prec)
+        # mode mix: contract (t, Cin) jointly -> (complexity u, Cout)
+        w2b = _weight_block(
+            jnp.concatenate([w1[0], w2[0]], axis=2),
+            jnp.concatenate([w1[1], w2[1]], axis=2),
+        )  # (t, Ci, u, Co, 2m1, m2)
+        yf = jnp.einsum("btrkc,tcuork->burko", xf, w2b, precision=prec)
+        # inverse H (complex), then the Hermitian-weighted real W inverse
+        yh = jnp.einsum("burko,urvh->bvhko", yf, gi, precision=prec)
+        return jnp.einsum("bvhko,vkw->bhwo", yh, vw, precision=prec)
 
     # ---- partial-DFT (MXU matmul) path, pure-real arithmetic -------------
     prec = _PRECISION
@@ -177,13 +265,14 @@ def spectral_conv_3d(
     modes1: int,
     modes2: int,
     modes3: int,
-    impl: str = "dft",
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """3D spectral convolution with the four corner blocks of the reference
     (fno.py:259-288): (+x,+y), (-x,+y), (+x,-y), (-x,-y), all at low z modes.
 
     x: (B, X, Y, Z, Cin); w*: (2, Cin, Cout, m1, m2, m3).
     """
+    impl = impl or _DEFAULT_IMPL
     nx, ny, nz = x.shape[1], x.shape[2], x.shape[3]
     if impl == "fft":
         xf = jnp.fft.rfftn(x, axes=(1, 2, 3))  # (B, X, Y, Z//2+1, Cin)
@@ -200,6 +289,29 @@ def spectral_conv_3d(
             mixed = _mode_mix(xf[:, sx, sy, :modes3], _as_complex(w))
             out_ft = out_ft.at[:, sx, sy, :modes3].set(mixed)
         return jnp.fft.irfftn(out_ft, s=(nx, ny, nz), axes=(1, 2, 3))
+
+    if impl == "dft2":
+        # ---- block-complex single-matmul path (7 dot_generals total) -----
+        prec = _PRECISION
+        fz, vz = (jnp.asarray(a) for a in _dft2_real_axis(nz, modes3))
+        gy, gyi = (jnp.asarray(a) for a in _dft2_corner_axis(ny, modes2))
+        gx, gxi = (jnp.asarray(a) for a in _dft2_corner_axis(nx, modes1))
+        a = jnp.einsum("bxyzc,zpk->bxypkc", x, fz, precision=prec)
+        a = jnp.einsum("bxypkc,pyqs->bxqskc", a, gy, precision=prec)
+        a = jnp.einsum("bxqskc,qxtr->btrskc", a, gx, precision=prec)
+
+        # corner-grid weight layout as in the dft path below: rows [:m1] =
+        # +x / [m1:] = -x, cols [:m2] = +y / [m2:] = -y
+        def corner(part):
+            top = jnp.concatenate([w1[part], w3[part]], axis=3)
+            bot = jnp.concatenate([w2[part], w4[part]], axis=3)
+            return jnp.concatenate([top, bot], axis=2)  # (Ci,Co,2m1,2m2,m3)
+
+        w2b = _weight_block(corner(0), corner(1))  # (t,Ci,u,Co,2m1,2m2,m3)
+        a = jnp.einsum("btrskc,tcuorsk->bursko", a, w2b, precision=prec)
+        a = jnp.einsum("bursko,urvx->bvxsko", a, gxi, precision=prec)
+        a = jnp.einsum("bvxsko,vswy->bwxyko", a, gyi, precision=prec)
+        return jnp.einsum("bwxyko,wkz->bxyzo", a, vz, precision=prec)
 
     # ---- partial-DFT (MXU matmul) path, pure-real arithmetic -------------
     prec = _PRECISION
