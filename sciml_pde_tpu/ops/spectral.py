@@ -11,7 +11,7 @@ TPU-first design notes:
     around the XLA FFT;
   - complex weights are stored as one real array ``(2, Cin, Cout, *modes)``
     (real, imag) so optimizers/checkpointing see only real leaves;
-  - the default implementation ("dft") never materialises the full spectrum:
+  - the "dft" implementation never materialises the full spectrum:
     because FNO keeps only O(m) of O(N) modes, the forward transform is a
     *partial* DFT (two skinny matmuls on the MXU) and the inverse is the
     adjoint pair with Hermitian doubling along the real-FFT axis.  This is
@@ -24,7 +24,9 @@ TPU-first design notes:
     (the real embedding of complex multiplication): identical FLOPs, but a
     2D layer is 5 dot_generals instead of 14 real einsums (a 3D layer 7
     instead of 22), so the dispatch/launch overhead that dominates this
-    small-shape, latency-bound regime shrinks ~3x.  Selectable per call or
+    small-shape, latency-bound regime shrinks ~3x.  "dft2" is the DEFAULT:
+    measured +9% (DR shape) / +18% (NS 256^2, compute-bound) full-step
+    throughput over "dft" at identical loss.  Selectable per call or
     globally via SCIML_SPECTRAL_IMPL={dft,dft2,fft}.
 """
 
@@ -57,7 +59,10 @@ def set_dft_precision(name: str) -> None:
 
 
 # Module-default implementation of the spectral conv (models pass impl=None).
-_DEFAULT_IMPL = os.environ.get("SCIML_SPECTRAL_IMPL", "dft").lower()
+# "dft2" measured +9% (DR 128^2) / +18% (NS 256^2 batch 8, compute-bound,
+# flat windows) full-train-step throughput over "dft" on TPU v5e with
+# identical loss trajectories (experiments/results/spectral_impl_bench_r2.json).
+_DEFAULT_IMPL = os.environ.get("SCIML_SPECTRAL_IMPL", "dft2").lower()
 
 
 def set_spectral_impl(name: str) -> None:
