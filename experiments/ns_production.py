@@ -62,7 +62,9 @@ def main(argv=None):
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
     p.add_argument("--skip-gen", action="store_true")
-    p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--variants", nargs="+", default=["baseline", "aux"],
+                   help="'none' = generate the data family and exit (other "
+                        "drivers, e.g. ns_transformer, consume the folder)")
     p.add_argument("--tag", default="",
                    help="suffix for model_name/summary keys (e.g. aux-volume "
                         "sweeps over --n-aux-per reusing one data folder)")
@@ -94,6 +96,9 @@ def main(argv=None):
             if not f.exists():
                 generate_ns_file(f, i, cfg, frames_per_chunk=fpc)
         print(f"generation done: {time.time()-t0:.0f}s", flush=True)
+
+    if a.variants == ["none"]:
+        return
 
     from sciml_pde_tpu.data.ns import load_ns_baseline
     from sciml_pde_tpu.eval.rollout_experiment import rollout_study
