@@ -22,9 +22,14 @@ reference's eager fp32 torch step is launch-bound at this batch-4,
 128^2 shape, so the launch bound (~1.1k steps/s) governs.  Falls back
 to that recorded constant if the JSON is absent.
 
-Also reported: median-of-5 window throughput with the window spread,
-HLO flops/step (XLA cost analysis) and the implied MFU against the
-v5e bf16 peak (197 TFLOP/s).
+Two loop shapes are measured, both median-of-5 windows:
+  - per-dispatch: one optimizer step per host->device dispatch (the naive
+    loop; throttle-sensitive on tunneled backends, PERFORMANCE.md);
+  - scan-chunk: K=100 steps per dispatch via lax.scan (the production
+    TPU train-loop shape).
+The headline value is the better of the two.  Also reported: HLO
+flops/step (XLA cost analysis) and the implied MFU against the v5e bf16
+peak (197 TFLOP/s).
 """
 
 from __future__ import annotations
@@ -121,13 +126,58 @@ def main():
             )
         jax.block_until_ready(params)
         rates.append(n_steps / (time.perf_counter() - t0))
-    steps_per_sec = float(np.median(rates))
+    dispatch_steps_per_sec = float(np.median(rates))
     final_loss = float(loss)
     print(
-        f"[bench] windows {[round(r,1) for r in rates]} steps/s, median "
-        f"{steps_per_sec:.1f} (loss={final_loss:.4f})",
+        f"[bench] per-dispatch windows {[round(r,1) for r in rates]} steps/s, "
+        f"median {dispatch_steps_per_sec:.1f} (loss={final_loss:.4f})",
         file=sys.stderr, flush=True,
     )
+
+    # ---- scan-chunked loop: K optimizer steps per dispatch ---------------
+    # The production train-loop shape on TPU (the whole loop lives in one
+    # compiled program), and robust to the tunnel's dispatch-rate throttle
+    # that dominates per-dispatch numbers at this small shape
+    # (PERFORMANCE.md).  Steps are identical optimizer steps over distinct
+    # window-index batches.
+    K = 100
+    chunk_pool = [
+        jnp.asarray(
+            np.stack(
+                [
+                    rng.integers(0, n_traj, (K, BATCH)),
+                    rng.integers(0, n_frames - INITIAL_STEP - 1, (K, BATCH)),
+                ],
+                axis=2,
+            ).astype(np.int32)
+        )
+        for _ in range(4)
+    ]
+    t0 = time.perf_counter()
+    params, opt_state, losses, _ = step_fn.scan(
+        params, opt_state, data, grid_r, chunk_pool[0], key
+    )
+    jax.block_until_ready(params)
+    print(f"[bench] scan-chunk compile+first: {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+    scan_rates = []
+    n_chunks = 5
+    for w in range(5):
+        t0 = time.perf_counter()
+        for c in range(n_chunks):
+            params, opt_state, losses, _ = step_fn.scan(
+                params, opt_state, data, grid_r, chunk_pool[c % len(chunk_pool)], key
+            )
+        jax.block_until_ready(params)
+        scan_rates.append(n_chunks * K / (time.perf_counter() - t0))
+    scan_steps_per_sec = float(np.median(scan_rates))
+    final_loss = float(losses[-1])
+    print(
+        f"[bench] scan-chunk(K={K}) windows {[round(r,1) for r in scan_rates]} "
+        f"steps/s, median {scan_steps_per_sec:.1f} (loss={final_loss:.4f})",
+        file=sys.stderr, flush=True,
+    )
+    steps_per_sec = max(scan_steps_per_sec, dispatch_steps_per_sec)
 
     # HLO flops of one compiled step -> MFU against the v5e bf16 peak
     flops_per_step = None
@@ -175,7 +225,11 @@ def main():
         "n_devices": len(jax.devices()),
         "batch": BATCH,
         "train_steps_per_sec": steps_per_sec,
-        "train_steps_per_sec_windows": [round(r, 1) for r in rates],
+        "dispatch_steps_per_sec": dispatch_steps_per_sec,
+        "dispatch_steps_per_sec_windows": [round(r, 1) for r in rates],
+        "scan_chunk": K,
+        "scan_steps_per_sec": scan_steps_per_sec,
+        "scan_steps_per_sec_windows": [round(r, 1) for r in scan_rates],
         "train_step_ms": 1000.0 / steps_per_sec,
         "hlo_flops_per_step": flops_per_step,
         "mfu_vs_v5e_bf16_peak": mfu,

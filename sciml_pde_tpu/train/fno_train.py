@@ -142,7 +142,33 @@ def build_baseline_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, g_norm
 
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step_scan(params, opt_state, data, grid, idx_chunk, key):
+        """K optimizer steps in ONE dispatch (lax.scan over a (K, B, 2)
+        window-index chunk).  Amortizes host->device dispatch overhead —
+        the production train-loop shape on TPU, where the per-step python
+        loop is launch-bound at small model/grid sizes."""
+        keys = jax.random.split(key, idx_chunk.shape[0])
+
+        def body(carry, sk):
+            params, opt_state = carry
+            idx, k = sk
+            x, y = train_gather(data, idx, initial_step, gather_rollout)
+            x, y = maybe_augment(x, y, k)
+            gb = _broadcast_grid(grid, idx.shape[0])
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
+            g_norm = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, g_norm)
+
+        (params, opt_state), (losses, g_norms) = jax.lax.scan(
+            body, (params, opt_state), (idx_chunk, keys)
+        )
+        return params, opt_state, losses, g_norms
+
     step.xy = step_xy
+    step.scan = step_scan
     return step, val_loss
 
 
