@@ -45,6 +45,11 @@ from sciml_pde_tpu.train.optim import aux_group_of, make_grouped_optimizer, make
 from sciml_pde_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 from sciml_pde_tpu.utils.logging import MetricLogger
 
+# Max async-dispatched host-stream batches in flight; each holds its host
+# transfer buffer until the device dequeues it, so this bounds host RSS at
+# ~pipeline_depth x batch_bytes instead of a full epoch of staged batches.
+_STREAM_PIPELINE = 8
+
 
 def _broadcast_grid(grid: jnp.ndarray, b: int) -> jnp.ndarray:
     return jnp.broadcast_to(grid[None], (b,) + grid.shape)
@@ -626,6 +631,14 @@ def run_training(
         loss_acc = None
         nb = 0
         if host_stream:
+            # Bounded in-flight window: without it, every staged batch in
+            # the epoch holds its host transfer buffer until the async
+            # dispatch queue drains — a 256^2x1000-frame aux epoch staged
+            # ~130 GB and got OOM-killed.  Blocking on the loss from
+            # _STREAM_PIPELINE steps back caps host-pinned batches.
+            from collections import deque
+
+            inflight: deque = deque()
             for batch in stream_loader:
                 batch = shard_batch(batch, mesh)
                 if if_aux:
@@ -640,6 +653,9 @@ def run_training(
                     )
                 loss_acc = loss if loss_acc is None else loss_acc + loss
                 nb += 1
+                inflight.append(loss)
+                if len(inflight) > _STREAM_PIPELINE:
+                    jax.block_until_ready(inflight.popleft())
         elif if_aux:
             dev_batches = [jax.device_put(b, idx_sharding) for b in make_batches()]
             for bidx in dev_batches:

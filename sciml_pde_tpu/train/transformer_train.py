@@ -34,6 +34,7 @@ from sciml_pde_tpu.parallel import make_mesh, replicate, shard_batch
 from sciml_pde_tpu.train.optim import make_lr_schedule
 from sciml_pde_tpu.utils.checkpoint import save_checkpoint
 from sciml_pde_tpu.utils.logging import MetricLogger
+from sciml_pde_tpu.train.fno_train import _STREAM_PIPELINE
 
 
 def transformer_nrmse(pred: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
@@ -488,6 +489,11 @@ def run_transformer_training(
         # with eager adds — same dispatch-pipeline rules as the FNO trainer
         loss_acc = None
         if host_stream:
+            # Bounded in-flight window (see fno_train): unbounded staging
+            # of 256^2 NS-aux batches OOM-killed the host at ~130 GB RSS.
+            from collections import deque
+
+            inflight: deque = deque()
             nb = 0
             for batch in stream_loader:
                 batch = shard_batch(batch, mesh)
@@ -503,6 +509,9 @@ def run_transformer_training(
                     )
                 loss_acc = loss if loss_acc is None else loss_acc + loss
                 nb += 1
+                inflight.append(loss)
+                if len(inflight) > _STREAM_PIPELINE:
+                    jax.block_until_ready(inflight.popleft())
         else:
             if early_window_boost > 0:
                 from sciml_pde_tpu.data.windows import weighted_epoch_batches
