@@ -35,6 +35,17 @@ def generate_dataset(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     cfg_yaml = json.dumps(dataclasses.asdict(cfg))
     seeds = list(range(seed_start, seed_start + nsample))
+    if out_path.exists():
+        # Resume: a re-run (queue retry, crash) must not die on groups the
+        # previous run already wrote.
+        import h5py
+
+        with h5py.File(out_path, "r") as f:
+            done = set(f.keys())
+        skipped = [s for s in seeds if str(s).zfill(4) in done]
+        seeds = [s for s in seeds if str(s).zfill(4) not in done]
+        if verbose and skipped:
+            print(f"resume: skipping {len(skipped)} seeds already in {out_path}")
     for i in range(0, len(seeds), device_batch):
         chunk = seeds[i : i + device_batch]
         t0 = time.time()
