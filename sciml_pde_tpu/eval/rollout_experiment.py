@@ -46,11 +46,16 @@ def rollout_study_fused(
     max_h = horizons[-1]
     idx = test_w.window_index()
     grid = test_w.grid
-    data = test_w.data
     initial_step = test_w.initial_step
+    # Ship only the frames any window can touch, as a jit ARGUMENT: closing
+    # over the full store embeds it as a compile-time constant (a 256^2 x
+    # 1000-frame NS test split is >3 GB — past this backend's single-buffer
+    # fault line; same fix as evaluate_rollout).
+    span = int(idx[:, 1].max()) + initial_step + max_h if len(idx) else 0
+    data = jax.device_put(np.asarray(test_w.data[:, :span]))
 
     @jax.jit
-    def batch_metrics(p, batch_idx):
+    def batch_metrics(p, batch_idx, data):
         x, y = gather_windows(data, batch_idx, initial_step, max_h)
         gb = jnp.broadcast_to(grid[None], (batch_idx.shape[0],) + grid.shape)
         fn = (lambda a, b: apply_fn(p, a, b)) if params is not None else apply_fn
@@ -69,7 +74,7 @@ def rollout_study_fused(
     nb = 0
     for b in range(0, len(idx), batch_size):
         chunk = jnp.asarray(idx[b : b + batch_size])
-        per_h, mse_time = batch_metrics(params, chunk)
+        per_h, mse_time = batch_metrics(params, chunk, data)
         sums += np.array([[float(v) for v in vals] for vals in per_h])
         mse_time_sum += np.asarray(mse_time)
         nb += 1
