@@ -71,3 +71,24 @@ def test_all_steps_score_is_cumulative_mean_of_finals():
                             iLow=1, iHigh=3, params=params,
                             score="all_steps")["nRMSE"]
     np.testing.assert_allclose(all3, np.mean(finals), rtol=1e-5)
+
+
+def test_rollout_study_does_not_capture_store_as_constant():
+    """Regression: the fused study once closed over the trajectory store,
+    embedding it as a compile-time constant (3.15 GB at NS production
+    shape).  JAX warns when captured constants exceed the configured
+    threshold — set it below the store size and assert silence."""
+    import warnings
+
+    test, apply_fn, params = _fixture()
+    store_bytes = test.data.size * test.data.dtype.itemsize
+    old = jax.config.jax_captured_constants_warn_bytes
+    try:
+        jax.config.update("jax_captured_constants_warn_bytes", store_bytes // 2)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", UserWarning)
+            res = rollout_study(apply_fn, params, test, horizons=(1, 2),
+                                batch_size=3, iLow=1, iHigh=3)
+    finally:
+        jax.config.update("jax_captured_constants_warn_bytes", old)
+    assert np.isfinite(res[1]["nRMSE"])
