@@ -113,7 +113,9 @@ def load_ns_baseline(
             train=True, to_device=to_device,
         ),
         test=WindowedTrajectories(
-            jnp.asarray(test[:, : initial_step + rollout_test] if not to_device else test),
+            # only the t0=0 window is ever read (train=False): keep just
+            # those frames on device
+            jnp.asarray(test[:, : initial_step + rollout_test]),
             grid, initial_step=initial_step, rollout=rollout_test, train=False,
         ),
     )
@@ -180,7 +182,8 @@ def load_ns_aux(
                 for i in range(aux.shape[0])
             ])
     else:
-        aux_j = jnp.asarray(aux) if to_device else aux
+        # numpy through to WindowedTrajectories, which chunk-transfers it
+        aux_j = aux
 
     grid = jnp.asarray(unit_grid(primary.shape[2], primary.shape[3]))
     return NSAuxDataset(
@@ -189,7 +192,10 @@ def load_ns_aux(
             train=True, to_device=to_device,
         ),
         primary_test=WindowedTrajectories(
-            jnp.asarray(test[:, : initial_step + rollout_test] if not to_device else test),
+            # in-training val uses only the t0=0 window: keep just those
+            # frames on device (the full 256^2 x 1000-frame test file is
+            # 1.57 GB of dead HBM weight; post-training rollouts reload)
+            jnp.asarray(test[:, : initial_step + rollout_test]),
             grid, initial_step=initial_step, rollout=rollout_test, train=False,
         ),
         aux_train=WindowedTrajectories(

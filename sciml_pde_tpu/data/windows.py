@@ -62,7 +62,12 @@ class WindowedTrajectories:
         # to_device=False keeps the store in host RAM (numpy) for the
         # host-streaming pipeline (data/stream.py) — stores beyond HBM
         if to_device:
-            self.data = data if isinstance(data, jnp.ndarray) else jnp.asarray(data)
+            # chunked transfer: a single multi-GB device_put stages ~6x
+            # the payload in host RAM on the remote backend
+            # (utils/transfer.py, PERFORMANCE.md backend notes)
+            from sciml_pde_tpu.utils.transfer import device_put_chunked
+
+            self.data = device_put_chunked(data)
         else:
             self.data = np.asarray(data)
         self.grid = grid if isinstance(grid, jnp.ndarray) else jnp.asarray(grid)
