@@ -58,6 +58,10 @@ def main(argv=None):
                         "8 aux, config_ns.yaml:19); the round-2 NS table "
                         "was trained at an explicit 2")
     p.add_argument("--host-stream", action="store_true")
+    p.add_argument("--aux-store-dtype", default="bf16", choices=["bf16", "f32"],
+                   help="device dtype of the aux trajectory store; bf16 keeps "
+                        "the 6-file aux set under the chunked-transfer HBM "
+                        "ceiling (primary data and all metrics stay fp32)")
     p.add_argument("--frames-per-chunk", type=int, default=20,
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
@@ -119,6 +123,7 @@ def main(argv=None):
             num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
             num_channels=3, modes=12, width=20, initial_step=10,
             batch_size=batch, epochs=a.epochs, host_stream=a.host_stream,
+            aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
             run_dir=str(out), model_name=f"ns_prod_{variant}{tag}", log_every=500,
         )
         train_s = time.time() - t0

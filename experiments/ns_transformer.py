@@ -57,6 +57,10 @@ def main(argv=None):
                    help="stream window batches from host RAM (the aux "
                         "pairing at num_aux_samples=6 is ~9.5 GB of "
                         "stores, past the ~3 GB device-buffer fault line)")
+    p.add_argument("--aux-store-dtype", default="bf16", choices=["bf16", "f32"],
+                   help="device dtype of the aux trajectory store (bf16 "
+                        "keeps the 6-file aux set under the chunked-transfer "
+                        "HBM ceiling; the trainer computes in bf16 anyway)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="")
     p.add_argument("--continue-training", action="store_true")
@@ -99,6 +103,7 @@ def main(argv=None):
         use_checkpoint=a.remat,
         test_range=(250, 250 + a.n_test),
         host_stream=a.host_stream,
+        aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}

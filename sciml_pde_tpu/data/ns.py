@@ -134,6 +134,7 @@ def load_ns_aux(
     if_downsample: bool = False,
     test_range=(250, 275),
     to_device: bool = True,
+    aux_store_dtype: str | None = None,
 ) -> NSAuxDataset:
     """Aux-paired NS dataset.
 
@@ -159,6 +160,16 @@ def load_ns_aux(
     ]
     aux_rows_per_file = aux_blocks[0].shape[0]
     aux = np.concatenate(aux_blocks)
+    if aux_store_dtype is not None:
+        # bf16 aux store: the auxiliary stream is supervision for the aux
+        # head only (primary data/metrics stay fp32), and halving it keeps
+        # a >HBM/2 store under the chunked-transfer ceiling — the remote
+        # AOT compiler does not honor buffer donation, so building an N-GB
+        # device buffer incrementally peaks at ~2N (utils/transfer.py).
+        import ml_dtypes
+
+        dt = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}[aux_store_dtype]
+        aux = aux.astype(dt)
 
     # (primary row, j) -> aux row: same within-file trajectory index b in
     # aux file f*num_aux + j (reference utils_2d_ns.py:82-106)

@@ -220,6 +220,9 @@ def build_aux_step(
         x, y = train_gather(data_p, idx, initial_step, rollout)
         a_idx = aux_indices(idx)
         xa, ya = train_gather(data_a, a_idx, initial_step, rollout)
+        # the aux store may live on device in bf16 (load_ns_aux
+        # aux_store_dtype); compute stays fp32 from the gather on
+        xa, ya = xa.astype(x.dtype), ya.astype(y.dtype)
         gb = _broadcast_grid(grid, idx.shape[0])
         ga = _broadcast_grid(grid, a_idx.shape[0])
         (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -288,6 +291,7 @@ def run_training(
     train_subsample=(900, 900, 900),
     num_aux_samples: int = 3,
     auxiliary_weight: float = 0.7,
+    aux_store_dtype: str | None = None,  # e.g. "bf16": device aux store dtype (NS family)
     modes: int = 12,
     width: int = 20,
     initial_step: int = 10,
@@ -338,7 +342,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
-                to_device=not host_stream,
+                to_device=not host_stream, aux_store_dtype=aux_store_dtype,
             )
             aux_row_map = ds.aux_row_map
         elif dataset_family == "ns3d":
