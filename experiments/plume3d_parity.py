@@ -39,7 +39,12 @@ def main(argv=None):
     p.add_argument("--host-stream", action="store_true",
                    help="keep the trajectory store in host RAM (the 8-primary "
                         "full-res store is ~4.3 GB; a single >3 GB device "
-                        "buffer can fault this backend's worker)")
+                        "buffer can fault this backend's worker).  NOTE: the "
+                        "1-core host gathers 3D aux windows at <0.2 steps/s — "
+                        "prefer device-resident with --aux-store-dtype bf16")
+    p.add_argument("--aux-store-dtype", default="bf16", choices=["bf16", "f32"],
+                   help="device dtype of the aux trajectory store (bf16 fits "
+                        "the 12-trajectory aux pool + XLA temps in HBM)")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
@@ -100,6 +105,7 @@ def main(argv=None):
             initial_step=a.initial_step,
             rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
             host_stream=a.host_stream,
+            aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
             run_dir=str(out), model_name=f"plume_{variant}", log_every=200,
             continue_training=a.continue_training or a.eval_only,
             if_training=not a.eval_only,

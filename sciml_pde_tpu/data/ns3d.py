@@ -72,6 +72,7 @@ def load_ns3d_aux(
     test_seeds=range(275, 300),
     to_device: bool = True,
     with_aux: bool = True,
+    aux_store_dtype: str | None = None,
 ) -> NS3DAuxDataset:
     """Primary ``_interp`` seeds (excluding ``test_seeds``) + suffix-less
     aux seeds; aux pairing is the default ``p*num_aux_samples + j``
@@ -105,6 +106,13 @@ def load_ns3d_aux(
                 f"aux pool has {aux.shape[0]} trajectories < {n_primary} primary "
                 f"x {num_aux_samples} aux samples"
             )
+        if aux_store_dtype is not None:
+            # bf16 aux store: same rationale as load_ns_aux — auxiliary
+            # supervision only, halves a >HBM/2 device store
+            import ml_dtypes
+
+            dt = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}[aux_store_dtype]
+            aux = aux.astype(dt)
 
     grid = jnp.asarray(unit_grid_3d(*primary.shape[2:5]))
     return NS3DAuxDataset(
@@ -113,7 +121,10 @@ def load_ns3d_aux(
             train=True, to_device=to_device,
         ),
         primary_test=WindowedTrajectories(
-            test, grid, initial_step=initial_step, rollout=rollout_test,
+            # training-time val reads only the t0=0 window: keep just
+            # those frames on device (full-length 3D test is ~2.1 GB)
+            test[:, : initial_step + rollout_test] if to_device else test,
+            grid, initial_step=initial_step, rollout=rollout_test,
             train=False, to_device=to_device,
         ),
         aux_train=(WindowedTrajectories(

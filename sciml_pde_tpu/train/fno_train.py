@@ -352,7 +352,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
-                to_device=not host_stream,
+                to_device=not host_stream, aux_store_dtype=aux_store_dtype,
             )
         else:
             ds = load_dr_aux(
