@@ -62,6 +62,12 @@ def main(argv=None):
                    help="device dtype of the aux trajectory store; bf16 keeps "
                         "the 6-file aux set under the chunked-transfer HBM "
                         "ceiling (primary data and all metrics stay fp32)")
+    p.add_argument("--primary-store-dtype", default="f32", choices=["bf16", "f32"],
+                   help="device dtype of the primary TRAIN store (aux variant "
+                        "only); bf16 + --remat fits the reference-batch aux "
+                        "step (8 primary + 24 aux windows at 256^2) in HBM")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the 4 spectral blocks on backward")
     p.add_argument("--frames-per-chunk", type=int, default=20,
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
@@ -124,6 +130,9 @@ def main(argv=None):
             num_channels=3, modes=12, width=20, initial_step=10,
             batch_size=batch, epochs=a.epochs, host_stream=a.host_stream,
             aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
+            primary_store_dtype=(None if a.primary_store_dtype == "f32"
+                                 else a.primary_store_dtype),
+            fno_remat=a.remat,
             run_dir=str(out), model_name=f"ns_prod_{variant}{tag}", log_every=500,
         )
         train_s = time.time() - t0

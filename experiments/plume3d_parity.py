@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--aux-store-dtype", default="bf16", choices=["bf16", "f32"],
                    help="device dtype of the aux trajectory store (bf16 fits "
                         "the 12-trajectory aux pool + XLA temps in HBM)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the 4 spectral blocks on backward "
+                        "(~4x smaller activation temps; the aux step at "
+                        "effective batch 2+6 still exceeded HBM without it)")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
@@ -106,6 +110,7 @@ def main(argv=None):
             rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
             host_stream=a.host_stream,
             aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
+            fno_remat=a.remat,
             run_dir=str(out), model_name=f"plume_{variant}", log_every=200,
             continue_training=a.continue_training or a.eval_only,
             if_training=not a.eval_only,

@@ -135,6 +135,7 @@ def load_ns_aux(
     test_range=(250, 275),
     to_device: bool = True,
     aux_store_dtype: str | None = None,
+    store_dtype: str | None = None,
 ) -> NSAuxDataset:
     """Aux-paired NS dataset.
 
@@ -197,6 +198,16 @@ def load_ns_aux(
         aux_j = aux
 
     grid = jnp.asarray(unit_grid(primary.shape[2], primary.shape[3]))
+    if store_dtype is not None:
+        # bf16 primary TRAIN store: at reference batch sizes the 8-primary
+        # + 24-aux 256^2 family plus the aux step's HLO temps exceed one
+        # chip's HBM in fp32 (18.7 > 15.75 GB measured); the train step
+        # casts gathered windows back to fp32 before any compute, and the
+        # test store / all metrics stay fp32.
+        import ml_dtypes
+
+        dt = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}[store_dtype]
+        primary = primary.astype(dt)
     return NSAuxDataset(
         primary_train=WindowedTrajectories(
             primary, grid, initial_step=initial_step, rollout=rollout_test,

@@ -87,6 +87,9 @@ class FNOBackbone2d(nn.Module):
     modes2: int
     width: int
     padding: int = 2
+    remat: bool = False  # rematerialize each spectral block on backward
+    # (at 256^2 production shapes the four blocks' saved activations plus
+    # the fc1 projection dominate HLO temps next to a device-resident store)
 
     @nn.compact
     def __call__(self, x):
@@ -95,11 +98,17 @@ class FNOBackbone2d(nn.Module):
         x = TorchDense(self.width, name="fc0")(x)
         x = jnp.pad(x, ((0, 0), (0, self.padding), (0, self.padding), (0, 0)))
         for i in range(4):
-            x1 = SpectralConv2d(self.width, self.modes1, self.modes2, name=f"conv{i}")(x)
-            x2 = TorchDense(self.width, name=f"w{i}")(x)
-            x = x1 + x2
-            if i < 3:
-                x = gelu(x)
+            def block(mdl, h, _i=i):
+                h1 = SpectralConv2d(
+                    mdl.width, mdl.modes1, mdl.modes2, name=f"conv{_i}"
+                )(h)
+                h2 = TorchDense(mdl.width, name=f"w{_i}")(h)
+                h = h1 + h2
+                return gelu(h) if _i < 3 else h
+
+            # nn.remat on a (module, x) function keeps param paths identical
+            # to the inline body, so checkpoints are interchangeable
+            x = (nn.remat(block)(self, x) if self.remat else block(self, x))
         x = x[:, :nx, :ny]
         return gelu(TorchDense(128, name="fc1")(x))
 
@@ -110,6 +119,9 @@ class FNOBackbone3d(nn.Module):
     modes3: int
     width: int
     padding: int = 6  # z-only padding, reference fno.py:314,360
+    remat: bool = False  # rematerialize each spectral block on backward
+    # (3D activations are (B, X, Y, Z+pad, W) — at production plume shape
+    # the four blocks' saved activations dominate HBM temps)
 
     @nn.compact
     def __call__(self, x):
@@ -117,13 +129,17 @@ class FNOBackbone3d(nn.Module):
         x = TorchDense(self.width, name="fc0")(x)
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, self.padding), (0, 0)))
         for i in range(4):
-            x1 = SpectralConv3d(
-                self.width, self.modes1, self.modes2, self.modes3, name=f"conv{i}"
-            )(x)
-            x2 = TorchDense(self.width, name=f"w{i}")(x)
-            x = x1 + x2
-            if i < 3:
-                x = gelu(x)
+            def block(mdl, h, _i=i):
+                h1 = SpectralConv3d(
+                    mdl.width, mdl.modes1, mdl.modes2, mdl.modes3, name=f"conv{_i}"
+                )(h)
+                h2 = TorchDense(mdl.width, name=f"w{_i}")(h)
+                h = h1 + h2
+                return gelu(h) if _i < 3 else h
+
+            # nn.remat on a (module, x) function keeps param paths identical
+            # to the inline body, so checkpoints are interchangeable
+            x = (nn.remat(block)(self, x) if self.remat else block(self, x))
         x = x[:, :, :, :nz]
         return gelu(TorchDense(128, name="fc1")(x))
 
@@ -159,11 +175,13 @@ class FNO2d(nn.Module):
     modes2: int = 12
     width: int = 20
     initial_step: int = 10
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, grid):
         inp, std, mean = _prep_2d(x, grid)
-        feats = FNOBackbone2d(self.modes1, self.modes2, self.width, name="backbone")(inp)
+        feats = FNOBackbone2d(self.modes1, self.modes2, self.width,
+                              remat=self.remat, name="backbone")(inp)
         out = TorchDense(self.num_channels, name="fc2")(feats)
         return _denorm(out, std, mean)
 
@@ -177,11 +195,13 @@ class FNO3d(nn.Module):
     modes3: int = 8
     width: int = 20
     initial_step: int = 10
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, grid):
         inp, std, mean = _prep_3d(x, grid)
-        feats = FNOBackbone3d(self.modes1, self.modes2, self.modes3, self.width, name="backbone")(
+        feats = FNOBackbone3d(self.modes1, self.modes2, self.modes3, self.width,
+                              remat=self.remat, name="backbone")(
             inp
         )
         out = TorchDense(self.num_channels, name="fc2")(feats)
@@ -203,6 +223,7 @@ class FNO2dAux(nn.Module):
     modes2: int = 12
     width: int = 20
     initial_step: int = 10
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, grid, x_aux, grid_aux):
@@ -210,7 +231,8 @@ class FNO2dAux(nn.Module):
         inp_p, std_p, mean_p = _prep_2d(x, grid)
         inp_a, std_a, mean_a = _prep_2d(x_aux, grid_aux)
         inp = jnp.concatenate([inp_p, inp_a], axis=0)
-        feats = FNOBackbone2d(self.modes1, self.modes2, self.width, name="backbone")(inp)
+        feats = FNOBackbone2d(self.modes1, self.modes2, self.width,
+                              remat=self.remat, name="backbone")(inp)
         out_p = TorchDense(self.num_channels, name="fc2_primary")(feats[:b])
         out_a = TorchDense(self.num_channels, name="fc2_auxiliary")(feats[b:])
         return _denorm(out_p, std_p, mean_p), _denorm(out_a, std_a, mean_a)
@@ -225,6 +247,7 @@ class FNO3dAux(nn.Module):
     modes3: int = 8
     width: int = 20
     initial_step: int = 10
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, grid, x_aux, grid_aux):
@@ -233,7 +256,8 @@ class FNO3dAux(nn.Module):
         inp_a, std_a, mean_a = _prep_3d(x_aux, grid_aux)
         inp = jnp.concatenate([inp_p, inp_a], axis=0)
         feats = FNOBackbone3d(
-            self.modes1, self.modes2, self.modes3, self.width, name="backbone"
+            self.modes1, self.modes2, self.modes3, self.width,
+            remat=self.remat, name="backbone"
         )(inp)
         out_p = TorchDense(self.num_channels, name="fc2_primary")(feats[:b])
         out_a = TorchDense(self.num_channels, name="fc2_auxiliary")(feats[b:])

@@ -220,9 +220,12 @@ def build_aux_step(
         x, y = train_gather(data_p, idx, initial_step, rollout)
         a_idx = aux_indices(idx)
         xa, ya = train_gather(data_a, a_idx, initial_step, rollout)
-        # the aux store may live on device in bf16 (load_ns_aux
-        # aux_store_dtype); compute stays fp32 from the gather on
-        xa, ya = xa.astype(x.dtype), ya.astype(y.dtype)
+        # either store may live on device in bf16 (load_ns_aux
+        # aux_store_dtype / store_dtype); compute stays fp32 from the
+        # gather on
+        f32 = jnp.float32
+        x, y = x.astype(f32), y.astype(f32)
+        xa, ya = xa.astype(f32), ya.astype(f32)
         gb = _broadcast_grid(grid, idx.shape[0])
         ga = _broadcast_grid(grid, a_idx.shape[0])
         (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -254,6 +257,7 @@ def build_aux_step(
         # validation scores the primary head only (fno_train_aux.py:400-410);
         # feed the primary stream to both inputs, discard the aux output.
         x, y = gather_windows(data_p, idx, initial_step, rollout)
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
         gb = _broadcast_grid(grid, idx.shape[0])
         pred_p, _ = model.apply({"params": params}, x, gb, x, gb)
         return nrmse_loss(pred_p, y)
@@ -292,6 +296,8 @@ def run_training(
     num_aux_samples: int = 3,
     auxiliary_weight: float = 0.7,
     aux_store_dtype: str | None = None,  # e.g. "bf16": device aux store dtype (NS family)
+    fno_remat: bool = False,  # rematerialize FNO spectral blocks on backward
+    primary_store_dtype: str | None = None,  # e.g. "bf16": device primary train store (NS)
     modes: int = 12,
     width: int = 20,
     initial_step: int = 10,
@@ -343,6 +349,7 @@ def run_training(
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
                 to_device=not host_stream, aux_store_dtype=aux_store_dtype,
+                store_dtype=primary_store_dtype,
             )
             aux_row_map = ds.aux_row_map
         elif dataset_family == "ns3d":
@@ -423,18 +430,20 @@ def run_training(
     elif if_aux:
         model = (
             FNO3dAux(num_channels=num_channels, modes1=modes, modes2=modes,
-                     modes3=modes, width=width, initial_step=initial_step)
+                     modes3=modes, width=width, initial_step=initial_step,
+                     remat=fno_remat)
             if is_3d
             else FNO2dAux(num_channels=num_channels, modes1=modes, modes2=modes,
-                          width=width, initial_step=initial_step)
+                          width=width, initial_step=initial_step, remat=fno_remat)
         )
     else:
         model = (
             FNO3d(num_channels=num_channels, modes1=modes, modes2=modes,
-                  modes3=modes, width=width, initial_step=initial_step)
+                  modes3=modes, width=width, initial_step=initial_step,
+                  remat=fno_remat)
             if is_3d
             else FNO2d(num_channels=num_channels, modes1=modes, modes2=modes,
-                       width=width, initial_step=initial_step)
+                       width=width, initial_step=initial_step, remat=fno_remat)
         )
 
     train_idx = train_w.window_index()

@@ -178,3 +178,43 @@ def test_fno2d_aux_two_heads_share_backbone():
     params2["fc2_auxiliary"] = jax.tree_util.tree_map(np.copy, params["fc2_primary"])
     p3, a3 = model.apply({"params": params2}, xa[:b], grid, xa, grida)
     np.testing.assert_allclose(np.asarray(p3), np.asarray(a3[:b]), atol=1e-5)
+
+
+def test_fno_remat_same_output_and_params():
+    """remat=True must produce identical params paths AND outputs (2D + 3D),
+    so remat'd checkpoints interchange with non-remat ones."""
+    rng = np.random.default_rng(6)
+    b, nx, ny, tt, c = 1, 16, 16, 4, 2
+    x = rng.normal(size=(b, nx, ny, tt, c)).astype(np.float32)
+    grid = rng.uniform(size=(b, nx, ny, 2)).astype(np.float32)
+    base = FNO2d(num_channels=c, modes1=4, modes2=4, width=8, initial_step=tt)
+    rem = FNO2d(num_channels=c, modes1=4, modes2=4, width=8, initial_step=tt,
+                remat=True)
+    params = base.init(jax.random.PRNGKey(7), x, grid)["params"]
+    p2 = rem.init(jax.random.PRNGKey(7), x, grid)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    y0 = base.apply({"params": params}, x, grid)
+    y1 = rem.apply({"params": params}, x, grid)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+    # gradients flow through the remat'd blocks identically
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, x, grid) ** 2)
+
+    g0 = jax.grad(lambda p: loss(base, p))(params)
+    g1 = jax.grad(lambda p: loss(rem, p))(params)
+    jax.tree_util.tree_map(
+        lambda a, b_: np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                                 rtol=1e-4, atol=1e-5),
+        g0, g1,
+    )
+
+    x3 = rng.normal(size=(1, 8, 8, 10, 3, 2)).astype(np.float32)
+    g3 = rng.uniform(size=(1, 8, 8, 10, 3)).astype(np.float32)
+    b3 = FNO3d(num_channels=2, modes1=2, modes2=2, modes3=2, width=6, initial_step=3)
+    r3 = FNO3d(num_channels=2, modes1=2, modes2=2, modes3=2, width=6, initial_step=3,
+               remat=True)
+    p3 = b3.init(jax.random.PRNGKey(8), x3, g3)["params"]
+    np.testing.assert_allclose(
+        np.asarray(b3.apply({"params": p3}, x3, g3)),
+        np.asarray(r3.apply({"params": p3}, x3, g3)), atol=1e-6)

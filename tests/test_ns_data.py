@@ -60,6 +60,21 @@ def test_ns_aux_training_runs(ns_folder, tmp_path):
     assert len(res.history) == 2
 
 
+def test_ns_aux_training_runs_bf16_stores_remat(ns_folder, tmp_path):
+    """Both device stores in bf16 + remat'd backbone: the HBM-fit path for
+    reference-batch aux training (compute stays fp32 from the gather on)."""
+    res = run_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+        train_subsample=(2, 2, 4), num_aux_samples=2,
+        test_range=(250, 251),
+        aux_store_dtype="bf16", primary_store_dtype="bf16", fno_remat=True,
+        modes=4, width=8, initial_step=3, rollout_test=1,
+        num_channels=3, batch_size=8, epochs=2,
+        run_dir=str(tmp_path), model_name="t_ns_aux_bf16", log_every=1000,
+    )
+    assert np.isfinite(res.best_val)
+
+
 def test_ns_baseline_lie_training_runs(ns_folder, tmp_path):
     res = run_training(
         base_path=str(ns_folder), dataset_family="ns", if_aux=False,
