@@ -61,6 +61,10 @@ def main(argv=None):
                    help="device dtype of the aux trajectory store (bf16 "
                         "keeps the 6-file aux set under the chunked-transfer "
                         "HBM ceiling; the trainer computes in bf16 anyway)")
+    p.add_argument("--primary-store-dtype", default="f32", choices=["bf16", "f32"],
+                   help="device dtype of the primary TRAIN store (aux variant); "
+                        "bf16 + --remat fits the 1-primary + 6-aux 256^2 "
+                        "family and the aux step in HBM")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="")
     p.add_argument("--continue-training", action="store_true")
@@ -104,6 +108,8 @@ def main(argv=None):
         test_range=(250, 250 + a.n_test),
         host_stream=a.host_stream,
         aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
+        primary_store_dtype=(None if a.primary_store_dtype == "f32"
+                             else a.primary_store_dtype),
     )
     summary_path = out / "summary.json"
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}

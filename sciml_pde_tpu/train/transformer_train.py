@@ -193,9 +193,12 @@ def build_transformer_aux_step(
         x, y = gather_windows(data_p, idx, initial_step, 1)
         a_idx = aux_indices(idx)
         xa, ya = gather_windows(data_a, a_idx, initial_step, 1)
-        # the aux store may live on device in bf16 (load_ns_aux
-        # aux_store_dtype); promote to the primary dtype from the gather on
-        xa, ya = xa.astype(x.dtype), ya.astype(y.dtype)
+        # either store may live on device in bf16 (load_ns_aux
+        # aux_store_dtype / store_dtype); compute in fp32 from the gather
+        # on (the model casts to bf16 internally under mixed precision)
+        f32 = jnp.float32
+        x, y = x.astype(f32), y.astype(f32)
+        xa, ya = xa.astype(f32), ya.astype(f32)
         x, xa = _to_tf_layout(x), _to_tf_layout(xa)
         yf, yaf = y[..., 0, :], ya[..., 0, :]  # next frame (B, H, W, C)
         (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -226,6 +229,7 @@ def build_transformer_aux_step(
     @jax.jit
     def val_primary(params, data_p, idx):
         x, y = gather_windows(data_p, idx, initial_step, 1)
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
         x = _to_tf_layout(x)
         pred_p, _ = model.apply({"params": params}, x, x)
         return loss(pred_p, y[..., 0, :])
@@ -332,6 +336,7 @@ def run_transformer_training(
     early_window_boost: float = 0.0,  # >0: over-sample windows with t0 <=
     early_window_t0: int = 12,        # ..this, weight 1+boost (v-channel fix)
     aux_store_dtype: str | None = None,  # e.g. "bf16": device aux store dtype (NS)
+    primary_store_dtype: str | None = None,  # e.g. "bf16": device primary train store (NS)
     host_stream: bool = False,  # keep the train stores in host RAM and
     # stream pre-gathered window batches (stores beyond one chip's HBM;
     # the NS aux pairing at reference num_aux_samples=6 is ~9.5 GB)
@@ -351,6 +356,7 @@ def run_transformer_training(
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
                 to_device=not host_stream, aux_store_dtype=aux_store_dtype,
+                store_dtype=primary_store_dtype,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
             aux_row_map = ds.aux_row_map

@@ -70,6 +70,19 @@ def test_transformer_aux_training_ns(ns_folder, tmp_path):
     assert len(res.history) == 2
 
 
+def test_transformer_aux_training_ns_bf16_stores(ns_folder, tmp_path):
+    """Both device stores in bf16: the HBM-fit path for the production
+    NS transformer aux run (compute promotes to fp32 from the gather on)."""
+    res = run_transformer_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+        train_subsample=(1, 1, 2), num_aux_samples=2,
+        test_range=(250, 251),
+        aux_store_dtype="bf16", primary_store_dtype="bf16",
+        run_dir=str(tmp_path), model_name="t_vmae_bf16", **TFK,
+    )
+    assert np.isfinite(res.best_val)
+
+
 def test_transformer_baseline_with_accum_and_warmup(ns_folder, tmp_path):
     res = run_transformer_training(
         base_path=str(ns_folder), dataset_family="ns", if_aux=False,
