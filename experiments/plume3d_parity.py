@@ -49,6 +49,11 @@ def main(argv=None):
                    help="rematerialize the 4 spectral blocks on backward "
                         "(~4x smaller activation temps; the aux step at "
                         "effective batch 2+6 still exceeded HBM without it)")
+    p.add_argument("--primary-store-dtype", default="f32",
+                   choices=["bf16", "f32"],
+                   help="device dtype of the primary trajectory store "
+                        "(bf16 halves the ~3.2 GB 8-trajectory store; "
+                        "compute stays fp32 from the window gather on)")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
@@ -110,6 +115,8 @@ def main(argv=None):
             rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
             host_stream=a.host_stream,
             aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
+            primary_store_dtype=(None if a.primary_store_dtype == "f32"
+                                 else a.primary_store_dtype),
             fno_remat=a.remat,
             run_dir=str(out), model_name=f"plume_{variant}", log_every=200,
             continue_training=a.continue_training or a.eval_only,

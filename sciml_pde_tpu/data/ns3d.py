@@ -73,6 +73,7 @@ def load_ns3d_aux(
     to_device: bool = True,
     with_aux: bool = True,
     aux_store_dtype: str | None = None,
+    store_dtype: str | None = None,
 ) -> NS3DAuxDataset:
     """Primary ``_interp`` seeds (excluding ``test_seeds``) + suffix-less
     aux seeds; aux pairing is the default ``p*num_aux_samples + j``
@@ -113,6 +114,15 @@ def load_ns3d_aux(
 
             dt = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}[aux_store_dtype]
             aux = aux.astype(dt)
+
+    if store_dtype is not None:
+        # bf16 primary TRAIN store, same contract as load_ns_aux: the
+        # train step casts gathered windows back to fp32 before compute;
+        # the test store / all metrics stay fp32.
+        import ml_dtypes
+
+        dt = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}[store_dtype]
+        primary = primary.astype(dt)
 
     grid = jnp.asarray(unit_grid_3d(*primary.shape[2:5]))
     return NS3DAuxDataset(

@@ -360,6 +360,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
                 to_device=not host_stream, aux_store_dtype=aux_store_dtype,
+                store_dtype=primary_store_dtype,
             )
         else:
             ds = load_dr_aux(
@@ -389,6 +390,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
                 to_device=not host_stream, with_aux=False,
+                store_dtype=primary_store_dtype,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
         else:

@@ -82,6 +82,19 @@ def test_load_ns3d_aux(plume_folder):
     assert ds.primary_train.grid.shape == (8, 8, 12, 3)
 
 
+def test_load_ns3d_aux_bf16_stores(plume_folder):
+    """bf16 device stores (primary + aux): the HBM-fit path for the 3D aux
+    run; test store and metrics stay fp32 (mirrors data/ns.py semantics)."""
+    ds = load_ns3d_aux(
+        str(plume_folder), train_subsample=(1, 1, 3), num_aux_samples=3,
+        initial_step=3, test_seeds=[275],
+        aux_store_dtype="bf16", store_dtype="bf16",
+    )
+    assert str(ds.primary_train.data.dtype) == "bfloat16"
+    assert str(ds.aux_train.data.dtype) == "bfloat16"
+    assert ds.primary_test.data.dtype == jnp.float32
+
+
 def test_transformer3d_aux_signature(plume_folder):
     ds = load_ns3d_aux(
         str(plume_folder), train_subsample=(1, 1, 3), num_aux_samples=3,
