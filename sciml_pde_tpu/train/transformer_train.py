@@ -531,18 +531,28 @@ def run_transformer_training(
             else:
                 batches_iter = epoch_batches(train_idx, batch_size, rng)
             dev_batches = [shard_batch(b, mesh) for b in batches_iter]
+            # Bound the device-resident dispatch pipeline too: the remote
+            # AOT path ignores buffer donation, so every in-flight step
+            # holds its own params+opt_state output copies (~2 GB each at
+            # ViT-L scale) — an unbounded epoch of async dispatches
+            # exhausts HBM at runtime and crashes the worker
+            # (FAILED_PRECONDITION on the next host fetch).
             if if_aux:
-                for bidx in dev_batches:
+                for k, bidx in enumerate(dev_batches):
                     params, opt_state, (loss, lp, la), g_norm = step_fn(
                         params, opt_state, train_w.data, ds.aux_train.data, bidx
                     )
                     loss_acc = loss if loss_acc is None else loss_acc + loss
+                    if (k + 1) % _STREAM_PIPELINE == 0:
+                        jax.block_until_ready(loss)
             else:
-                for bidx in dev_batches:
+                for k, bidx in enumerate(dev_batches):
                     params, opt_state, loss, g_norm = step_fn(
                         params, opt_state, train_w.data, bidx
                     )
                     loss_acc = loss if loss_acc is None else loss_acc + loss
+                    if (k + 1) % _STREAM_PIPELINE == 0:
+                        jax.block_until_ready(loss)
             nb = len(dev_batches)
         gstep += nb
         if log_every and (gstep // log_every) != ((gstep - nb) // log_every):
