@@ -50,7 +50,22 @@ def main(argv=None):
                         "spacing at 1/10th the steps")
     p.add_argument("--n-batch", type=int, default=4)
     p.add_argument("--n-primary", type=int, default=2)
+    p.add_argument("--n-primary-aux", type=int, default=0,
+                   help="primary files for the AUX variant (0 = same as "
+                        "--n-primary); the reference presets halve it "
+                        "(config_ns.yaml basic_ds8: [2, 1, 24])")
     p.add_argument("--n-aux-per", type=int, default=3)
+    p.add_argument("--aux-grid", type=int, default=0,
+                   help="resolution of the generated/stored aux files "
+                        "(0 = primary --grid).  A lower-res aux store is "
+                        "bilinear-upsampled to the primary grid inside the "
+                        "train step (the reference's if_downsample gather, "
+                        "utils_2d_ns.py:139-161) — 128 keeps the 24-aux "
+                        "reference volume resident in HBM")
+    p.add_argument("--aux-chunks", type=int, default=1,
+                   help="scan the aux stream in K remat'd chunks per step "
+                        "(HLO-temp lever for num_aux_samples 24 = 8+192 "
+                        "windows per step)")
     p.add_argument("--n-test", type=int, default=1)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=0,
@@ -83,11 +98,14 @@ def main(argv=None):
     tag = f"_{a.tag}" if a.tag else ""
 
     folder = Path(a.folder)
+    n_primary_aux = a.n_primary_aux or a.n_primary
+    aux_grid = a.aux_grid or a.grid
+    aux_name = f"ns_aux_2d_{aux_grid}" if aux_grid != a.grid else "ns_aux_2d_256"
     if not a.skip_gen:
         folder.mkdir(parents=True, exist_ok=True)
         cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "full", a.dt, a.nu,
                        a.diffusion_mode)
-        aux_cfg = make_cfg(a.grid, a.frames, a.frame_int, a.n_batch, "convection",
+        aux_cfg = make_cfg(aux_grid, a.frames, a.frame_int, a.n_batch, "convection",
                            a.dt, a.nu, a.diffusion_mode)
         t0 = time.time()
         fpc = a.frames_per_chunk
@@ -96,8 +114,8 @@ def main(argv=None):
             if not f.exists():
                 generate_ns_file(f, i, cfg, frames_per_chunk=fpc)
                 print(f"primary {i}: {time.time()-t0:.0f}s total", flush=True)
-        for i in range(a.n_primary * a.n_aux_per):
-            f = folder / f"ns_aux_2d_256-{i}.h5"
+        for i in range(n_primary_aux * a.n_aux_per):
+            f = folder / f"{aux_name}-{i}.h5"
             if not f.exists():
                 generate_ns_file(f, 1000 + i, aux_cfg, frames_per_chunk=fpc)
                 print(f"aux {i}: {time.time()-t0:.0f}s total", flush=True)
@@ -124,14 +142,17 @@ def main(argv=None):
         batch = a.batch_size or (8 if variant == "aux" else 16)
         res = run_training(
             base_path=str(folder), aux_path=str(folder), dataset_family="ns",
-            if_aux=(variant == "aux"),
-            train_subsample=(a.n_primary, a.n_primary, a.n_primary * a.n_aux_per),
+            if_aux=(variant == "aux"), aux_name=aux_name,
+            train_subsample=(a.n_primary, n_primary_aux,
+                             n_primary_aux * a.n_aux_per),
             num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
             num_channels=3, modes=12, width=20, initial_step=10,
             batch_size=batch, epochs=a.epochs, host_stream=a.host_stream,
             aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
             primary_store_dtype=(None if a.primary_store_dtype == "f32"
                                  else a.primary_store_dtype),
+            aux_chunks=a.aux_chunks,
+            aux_upsample_at_gather=(aux_grid != a.grid),
             fno_remat=a.remat,
             run_dir=str(out), model_name=f"ns_prod_{variant}{tag}", log_every=500,
         )

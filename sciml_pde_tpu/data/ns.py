@@ -136,6 +136,7 @@ def load_ns_aux(
     to_device: bool = True,
     aux_store_dtype: str | None = None,
     store_dtype: str | None = None,
+    aux_upsample_at_gather: bool = False,
 ) -> NSAuxDataset:
     """Aux-paired NS dataset.
 
@@ -180,7 +181,13 @@ def load_ns_aux(
             for j in range(num_aux_samples):
                 row_map[p_row, j] = (f * num_aux_samples + j) * aux_rows_per_file + b
 
-    if if_downsample or aux.shape[2:4] != primary.shape[2:4]:
+    if aux_upsample_at_gather:
+        # keep the aux store at its native (cheaper) resolution; the train
+        # step bilinear-upsamples gathered windows to the primary grid
+        # (the reference's gather-time interpolate, utils_2d_ns.py:139-161)
+        # — a 128^2 store is 4x less HBM than load-time upsampling to 256^2
+        aux_j = aux
+    elif if_downsample or aux.shape[2:4] != primary.shape[2:4]:
         import jax
 
         target = (aux.shape[0], aux.shape[1], *primary.shape[2:4], aux.shape[-1])

@@ -216,6 +216,15 @@ class FNO2dAux(nn.Module):
     per-sample, so concatenating the batches preserves that), the backbone
     runs once over the concatenated batch, and the heads are applied to the
     static batch split.
+
+    ``primary``/``auxiliary`` expose the two streams as separate methods
+    (identical math — instance norm is per-sample) so the train step can
+    scan the auxiliary stream in chunks when the aux batch is large
+    (reference ``num_aux_samples: 24`` = 8 primary + 192 aux windows per
+    step at 256^2, config_ns.yaml:19,31 — far past one chip's HLO-temp
+    budget in a single concatenated pass).  Setup-style module: param
+    paths (``backbone``/``fc2_primary``/``fc2_auxiliary``) are unchanged,
+    so checkpoints are interchangeable with the compact variant.
     """
 
     num_channels: int
@@ -225,16 +234,28 @@ class FNO2dAux(nn.Module):
     initial_step: int = 10
     remat: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.backbone = FNOBackbone2d(self.modes1, self.modes2, self.width,
+                                      remat=self.remat)
+        self.fc2_primary = TorchDense(self.num_channels)
+        self.fc2_auxiliary = TorchDense(self.num_channels)
+
+    def primary(self, x, grid):
+        inp, std, mean = _prep_2d(x, grid)
+        return _denorm(self.fc2_primary(self.backbone(inp)), std, mean)
+
+    def auxiliary(self, x_aux, grid_aux):
+        inp, std, mean = _prep_2d(x_aux, grid_aux)
+        return _denorm(self.fc2_auxiliary(self.backbone(inp)), std, mean)
+
     def __call__(self, x, grid, x_aux, grid_aux):
         b = x.shape[0]
         inp_p, std_p, mean_p = _prep_2d(x, grid)
         inp_a, std_a, mean_a = _prep_2d(x_aux, grid_aux)
         inp = jnp.concatenate([inp_p, inp_a], axis=0)
-        feats = FNOBackbone2d(self.modes1, self.modes2, self.width,
-                              remat=self.remat, name="backbone")(inp)
-        out_p = TorchDense(self.num_channels, name="fc2_primary")(feats[:b])
-        out_a = TorchDense(self.num_channels, name="fc2_auxiliary")(feats[b:])
+        feats = self.backbone(inp)
+        out_p = self.fc2_primary(feats[:b])
+        out_a = self.fc2_auxiliary(feats[b:])
         return _denorm(out_p, std_p, mean_p), _denorm(out_a, std_a, mean_a)
 
 
@@ -249,18 +270,28 @@ class FNO3dAux(nn.Module):
     initial_step: int = 10
     remat: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.backbone = FNOBackbone3d(self.modes1, self.modes2, self.modes3,
+                                      self.width, remat=self.remat)
+        self.fc2_primary = TorchDense(self.num_channels)
+        self.fc2_auxiliary = TorchDense(self.num_channels)
+
+    def primary(self, x, grid):
+        inp, std, mean = _prep_3d(x, grid)
+        return _denorm(self.fc2_primary(self.backbone(inp)), std, mean)
+
+    def auxiliary(self, x_aux, grid_aux):
+        inp, std, mean = _prep_3d(x_aux, grid_aux)
+        return _denorm(self.fc2_auxiliary(self.backbone(inp)), std, mean)
+
     def __call__(self, x, grid, x_aux, grid_aux):
         b = x.shape[0]
         inp_p, std_p, mean_p = _prep_3d(x, grid)
         inp_a, std_a, mean_a = _prep_3d(x_aux, grid_aux)
         inp = jnp.concatenate([inp_p, inp_a], axis=0)
-        feats = FNOBackbone3d(
-            self.modes1, self.modes2, self.modes3, self.width,
-            remat=self.remat, name="backbone"
-        )(inp)
-        out_p = TorchDense(self.num_channels, name="fc2_primary")(feats[:b])
-        out_a = TorchDense(self.num_channels, name="fc2_auxiliary")(feats[b:])
+        feats = self.backbone(inp)
+        out_p = self.fc2_primary(feats[:b])
+        out_a = self.fc2_auxiliary(feats[b:])
         return _denorm(out_p, std_p, mean_p), _denorm(out_a, std_a, mean_a)
 
 

@@ -186,6 +186,8 @@ def build_aux_step(
     auxiliary_weight: float,
     aux_row_map: np.ndarray | None = None,
     train_gather=None,
+    aux_chunks: int = 1,
+    aux_resize_to: tuple[int, ...] | None = None,
 ):
     """One jitted optimizer step for two-head aux joint training.
 
@@ -194,6 +196,19 @@ def build_aux_step(
     trajectories p*nA + (0..nA-1) at the same t0, aux batch flattened to
     B*nA.  ``aux_row_map`` ((Np, nA) int32) overrides it for per-file
     pairings like NS (fno_aux/utils_2d_ns.py:82-106).
+
+    Large aux volumes (reference ``num_aux_samples: 24`` = batch 8 primary
+    + 192 aux windows per step, config_ns.yaml:19,31):
+
+      - ``aux_chunks > 1`` scans the auxiliary stream in equal chunks
+        with a rematerialized body, so HLO temps are one chunk's worth
+        while the gradient is mathematically identical (instance norm is
+        per-sample; chunk-mean of equal chunks = batch mean).
+      - ``aux_resize_to`` upsamples gathered aux windows (input AND
+        target) to the primary spatial resolution *inside* the step —
+        the reference's ``if_downsample`` gather-time interpolate
+        (utils_2d_ns.py:139-161) — so the resident aux store can live at
+        its cheaper native resolution.
     """
     row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
     train_gather = train_gather or gather_windows
@@ -209,10 +224,48 @@ def build_aux_step(
         at = jnp.repeat(t0, num_aux_samples)
         return jnp.stack([ap, at], axis=1)
 
+    def _aux_to_model_res(a):
+        """f32-cast + bilinear upsample of (B, *spatial, T, C) aux windows."""
+        a = a.astype(jnp.float32)
+        if aux_resize_to is not None and a.shape[1:-2] != tuple(aux_resize_to):
+            target = (a.shape[0], *aux_resize_to, *a.shape[-2:])
+            a = jax.image.resize(a, target, method="linear")
+        return a
+
+    chunked = aux_chunks > 1 or aux_resize_to is not None
+
     def loss_fn(params, x, y, xa, ya, grid, grid_a):
         pred_p, pred_a = model.apply({"params": params}, x, grid, xa, grid_a)
         lp = nrmse_loss(pred_p, y)
         la = nrmse_loss(pred_a, ya)
+        return lp + auxiliary_weight * la, (lp, la)
+
+    def loss_fn_chunked(params, x, y, xa, ya, grid):
+        """Primary pass + scanned aux chunks (xa/ya still in store dtype/res)."""
+        pred_p = model.apply({"params": params}, x, grid, method="primary")
+        lp = nrmse_loss(pred_p, y)
+
+        n_aux = xa.shape[0]
+        if n_aux % aux_chunks:
+            raise ValueError(
+                f"aux batch {n_aux} not divisible by aux_chunks={aux_chunks}"
+            )
+        cb = n_aux // aux_chunks
+        xa_s = xa.reshape(aux_chunks, cb, *xa.shape[1:])
+        ya_s = ya.reshape(aux_chunks, cb, *ya.shape[1:])
+        # ``grid`` arrives already batch-broadcast for the primary pass
+        ga = _broadcast_grid(grid[0], cb)
+
+        @jax.checkpoint
+        def body(acc, chunk):
+            xa_c, ya_c = chunk
+            pred_a = model.apply(
+                {"params": params}, _aux_to_model_res(xa_c), ga, method="auxiliary"
+            )
+            return acc + nrmse_loss(pred_a, _aux_to_model_res(ya_c)), None
+
+        la_sum, _ = jax.lax.scan(body, jnp.float32(0.0), (xa_s, ya_s))
+        la = la_sum / aux_chunks
         return lp + auxiliary_weight * la, (lp, la)
 
     @partial(jax.jit, donate_argnums=(0, 1))
@@ -225,12 +278,17 @@ def build_aux_step(
         # gather on
         f32 = jnp.float32
         x, y = x.astype(f32), y.astype(f32)
-        xa, ya = xa.astype(f32), ya.astype(f32)
         gb = _broadcast_grid(grid, idx.shape[0])
-        ga = _broadcast_grid(grid, a_idx.shape[0])
-        (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, x, y, xa, ya, gb, ga
-        )
+        if chunked:
+            (loss, (lp, la)), grads = jax.value_and_grad(
+                loss_fn_chunked, has_aux=True
+            )(params, x, y, xa, ya, gb)
+        else:
+            xa, ya = xa.astype(f32), ya.astype(f32)
+            ga = _broadcast_grid(grid, a_idx.shape[0])
+            (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, x, y, xa, ya, gb, ga
+            )
         g_norm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -296,6 +354,9 @@ def run_training(
     num_aux_samples: int = 3,
     auxiliary_weight: float = 0.7,
     aux_store_dtype: str | None = None,  # e.g. "bf16": device aux store dtype (NS family)
+    aux_chunks: int = 1,  # scan the aux stream in K remat'd chunks per step
+    aux_upsample_at_gather: bool = False,  # NS: keep aux store at native res,
+    # bilinear-upsample gathered windows inside the step (utils_2d_ns.py:139-161)
     fno_remat: bool = False,  # rematerialize FNO spectral blocks on backward
     primary_store_dtype: str | None = None,  # e.g. "bf16": device primary train store (NS)
     modes: int = 12,
@@ -337,6 +398,11 @@ def run_training(
 
     if host_stream and shard_store:
         raise ValueError("host_stream and shard_store are mutually exclusive")
+    if host_stream and (aux_chunks > 1 or aux_upsample_at_gather):
+        raise ValueError(
+            "aux_chunks / aux_upsample_at_gather are device-store levers; "
+            "the host-stream path ships pre-gathered full-res windows"
+        )
 
     aux_row_map = None
     if if_aux:
@@ -350,6 +416,7 @@ def run_training(
                 if_downsample=if_downsample, test_range=test_range,
                 to_device=not host_stream, aux_store_dtype=aux_store_dtype,
                 store_dtype=primary_store_dtype,
+                aux_upsample_at_gather=aux_upsample_at_gather,
             )
             aux_row_map = ds.aux_row_map
         elif dataset_family == "ns3d":
@@ -506,9 +573,15 @@ def run_training(
             },
             total_steps, scheduler, 1e-4, scheduler_step, scheduler_gamma,
         )
+        # aux store kept at a different (cheaper) resolution: upsample the
+        # gathered windows to the primary grid inside the step
+        aux_spatial = tuple(ds.aux_train.data.shape[2:-1])
+        prim_spatial = tuple(train_w.data.shape[2:-1])
+        aux_resize_to = prim_spatial if aux_spatial != prim_spatial else None
         step_fn, val_fn = build_aux_step(
             model, tx, initial_step, rollout_test, num_aux_samples, auxiliary_weight,
             aux_row_map=aux_row_map, train_gather=train_gather,
+            aux_chunks=aux_chunks, aux_resize_to=aux_resize_to,
         )
     else:
         params = model.init(key, x0, g0)["params"]
