@@ -44,6 +44,13 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--aux-weight", type=float, default=0.7)
     p.add_argument("--num-aux-samples", type=int, default=3)
+    p.add_argument("--aux-grid", type=int, default=0,
+                   help="resolution of the stored aux files (0 = --img-size). "
+                        "A lower-res store (files ns_aux_2d_{grid}-*.h5 from "
+                        "ns_production --aux-grid) is bilinear-upsampled to "
+                        "the primary grid inside the step — 4x less aux HBM "
+                        "at 128 (the reference's if_downsample gather, "
+                        "utils_2d_ns.py:139-161)")
     p.add_argument("--n-primary-files", type=int, default=1)
     p.add_argument("--n-test", type=int, default=1)
     p.add_argument("--precision", choices=["bf16", "fp32"], default="bf16")
@@ -121,12 +128,16 @@ def main(argv=None):
             res, train_s = None, 0.0
             print(f"{key}: restored ckpt best_val={best_val:.6f}", flush=True)
         else:
+            aux_grid = a.aux_grid or a.img_size
             res = run_transformer_training(
                 base_path=a.data, aux_path=a.data, dataset_family="ns",
                 if_aux=(variant == "aux"),
                 train_subsample=(a.n_primary_files, a.n_primary_files,
                                  a.n_primary_files * a.num_aux_samples),
                 num_aux_samples=a.num_aux_samples, run_dir=str(out),
+                aux_name=(f"ns_aux_2d_{aux_grid}" if aux_grid != a.img_size
+                          else "ns_aux_2d_256"),
+                aux_upsample_at_gather=(aux_grid != a.img_size),
                 model_name=f"vmae_{key}", log_every=200, **kw,
             )
             try:

@@ -168,10 +168,22 @@ def _to_tf_layout(x):
 def build_transformer_aux_step(
     model, tx, initial_step: int, num_aux_samples: int, auxiliary_weight: float,
     aux_row_map: np.ndarray | None = None, loss_type: str = "nrmse2",
-    fourier_weight: float = 0.0,
+    fourier_weight: float = 0.0, aux_resize_to: tuple[int, ...] | None = None,
 ):
     row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
     loss = _make_loss(loss_type, fourier_weight)
+
+    def _aux_to_model_res(a):
+        """f32-cast + bilinear upsample of (B, *spatial, T, C) aux windows.
+
+        The reference's if_downsample gather-time interpolate
+        (utils_2d_ns.py:139-161): the resident aux store stays at its
+        cheaper native resolution (4x less HBM at 128^2 vs 256^2)."""
+        a = a.astype(jnp.float32)
+        if aux_resize_to is not None and a.shape[1:-2] != tuple(aux_resize_to):
+            target = (a.shape[0], *aux_resize_to, *a.shape[-2:])
+            a = jax.image.resize(a, target, method="linear")
+        return a
 
     def aux_indices(idx):
         p, t0 = idx[:, 0], idx[:, 1]
@@ -198,7 +210,7 @@ def build_transformer_aux_step(
         # on (the model casts to bf16 internally under mixed precision)
         f32 = jnp.float32
         x, y = x.astype(f32), y.astype(f32)
-        xa, ya = xa.astype(f32), ya.astype(f32)
+        xa, ya = _aux_to_model_res(xa), _aux_to_model_res(ya)
         x, xa = _to_tf_layout(x), _to_tf_layout(xa)
         yf, yaf = y[..., 0, :], ya[..., 0, :]  # next frame (B, H, W, C)
         (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -336,6 +348,8 @@ def run_transformer_training(
     early_window_boost: float = 0.0,  # >0: over-sample windows with t0 <=
     early_window_t0: int = 12,        # ..this, weight 1+boost (v-channel fix)
     aux_store_dtype: str | None = None,  # e.g. "bf16": device aux store dtype (NS)
+    aux_upsample_at_gather: bool = False,  # NS: keep aux store at native res,
+    # bilinear-upsample gathered windows inside the step (utils_2d_ns.py:139-161)
     primary_store_dtype: str | None = None,  # e.g. "bf16": device primary train store (NS)
     host_stream: bool = False,  # keep the train stores in host RAM and
     # stream pre-gathered window batches (stores beyond one chip's HBM;
@@ -357,6 +371,7 @@ def run_transformer_training(
                 if_downsample=if_downsample, test_range=test_range,
                 to_device=not host_stream, aux_store_dtype=aux_store_dtype,
                 store_dtype=primary_store_dtype,
+                aux_upsample_at_gather=aux_upsample_at_gather,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
             aux_row_map = ds.aux_row_map
@@ -423,9 +438,12 @@ def run_transformer_training(
     key = jax.random.PRNGKey(seed)
     if if_aux:
         params = model.init(key, x0, x0)["params"]
+        aux_spatial = tuple(ds.aux_train.data.shape[2:-1])
+        prim_spatial = tuple(train_w.data.shape[2:-1])
         step_fn, val_fn = build_transformer_aux_step(
             model, tx, initial_step, num_aux_samples, auxiliary_weight, aux_row_map,
             loss_type=loss_type, fourier_weight=fourier_weight,
+            aux_resize_to=(prim_spatial if aux_spatial != prim_spatial else None),
         )
     else:
         params = model.init(key, x0)["params"]

@@ -134,3 +134,27 @@ def test_native_res_store_e2e(tmp_path):
         run_dir=str(tmp_path / "run"), model_name="t_aux_native", log_every=1000,
     )
     assert np.isfinite(res.best_val)
+
+
+def test_transformer_native_res_store_e2e(tmp_path):
+    """Same lever in the transformer trainer (build_transformer_aux_step
+    aux_resize_to): low-res aux store, in-step upsample."""
+    from sciml_pde_tpu.train.transformer_train import run_transformer_training
+
+    for i in [0, 250]:
+        _write_ns_file(tmp_path / f"ns_incom_inhom_2d_256-{i}.h5", 2, T, S, i)
+    for i in range(2):
+        _write_ns_file(tmp_path / f"ns_aux_2d_8-{i}.h5", 2, T, S // 2, 100 + i)
+
+    res = run_transformer_training(
+        base_path=str(tmp_path), dataset_family="ns", if_aux=True,
+        train_subsample=(1, 1, 2), num_aux_samples=2, test_range=(250, 251),
+        aux_name="ns_aux_2d_8", aux_upsample_at_gather=True,
+        aux_store_dtype="bf16",
+        img_size=S, patch_size=8, tubelet_size=2, in_chans=C,
+        encoder_embed_dim=32, encoder_depth=1, encoder_num_heads=4,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        initial_step=4, batch_size=4, epochs=1, bf16=False, log_every=1000,
+        run_dir=str(tmp_path / "run_tf"), model_name="t_vmae_native",
+    )
+    assert np.isfinite(res.best_val)
