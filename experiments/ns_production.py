@@ -87,6 +87,12 @@ def main(argv=None):
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
     p.add_argument("--skip-gen", action="store_true")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip training: restore the best-val checkpoint "
+                        "(runs/<out>/ns_prod_<variant><tag>_ckpt) and land "
+                        "the rollout table — recovery path when a long "
+                        "train item is cut by the queue timeout")
+    p.add_argument("--continue-training", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"],
                    help="'none' = generate the data family and exit (other "
                         "drivers, e.g. ns_transformer, consume the folder)")
@@ -139,25 +145,39 @@ def main(argv=None):
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
     for variant in a.variants:
         t0 = time.time()
-        batch = a.batch_size or (8 if variant == "aux" else 16)
-        res = run_training(
-            base_path=str(folder), aux_path=str(folder), dataset_family="ns",
-            if_aux=(variant == "aux"), aux_name=aux_name,
-            train_subsample=(a.n_primary, n_primary_aux,
-                             n_primary_aux * a.n_aux_per),
-            num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
-            num_channels=3, modes=12, width=20, initial_step=10,
-            batch_size=batch, epochs=a.epochs, host_stream=a.host_stream,
-            aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
-            primary_store_dtype=(None if a.primary_store_dtype == "f32"
-                                 else a.primary_store_dtype),
-            aux_chunks=a.aux_chunks,
-            aux_upsample_at_gather=(aux_grid != a.grid),
-            fno_remat=a.remat,
-            run_dir=str(out), model_name=f"ns_prod_{variant}{tag}", log_every=500,
-        )
-        train_s = time.time() - t0
-        print(f"{variant}: best_val={res.best_val:.6f} in {train_s:.0f}s", flush=True)
+        if a.eval_only:
+            from sciml_pde_tpu.utils.checkpoint import restore_params
+
+            class res:  # noqa: N801 - tiny result shim
+                params, best_val = restore_params(
+                    out / f"ns_prod_{variant}{tag}_ckpt"
+                )
+            print(f"{variant}: restored ckpt best_val={res.best_val:.6f}",
+                  flush=True)
+            train_s = 0.0
+        else:
+            batch = a.batch_size or (8 if variant == "aux" else 16)
+            res = run_training(
+                base_path=str(folder), aux_path=str(folder), dataset_family="ns",
+                if_aux=(variant == "aux"), aux_name=aux_name,
+                train_subsample=(a.n_primary, n_primary_aux,
+                                 n_primary_aux * a.n_aux_per),
+                num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
+                num_channels=3, modes=12, width=20, initial_step=10,
+                batch_size=batch, epochs=a.epochs, host_stream=a.host_stream,
+                aux_store_dtype=(None if a.aux_store_dtype == "f32"
+                                 else a.aux_store_dtype),
+                primary_store_dtype=(None if a.primary_store_dtype == "f32"
+                                     else a.primary_store_dtype),
+                aux_chunks=a.aux_chunks,
+                aux_upsample_at_gather=(aux_grid != a.grid),
+                fno_remat=a.remat, continue_training=a.continue_training,
+                run_dir=str(out), model_name=f"ns_prod_{variant}{tag}",
+                log_every=500,
+            )
+            train_s = time.time() - t0
+            print(f"{variant}: best_val={res.best_val:.6f} in {train_s:.0f}s",
+                  flush=True)
 
         ds = load_ns_baseline(str(folder), train_subsample=1, initial_step=10,
                               rollout_test=5, test_range=(250, 250 + a.n_test))
