@@ -66,6 +66,13 @@ def main(argv=None):
                    help="scan the aux stream in K remat'd chunks per step "
                         "(HLO-temp lever for num_aux_samples 24 = 8+192 "
                         "windows per step)")
+    p.add_argument("--aux-compute", choices=["upsample", "native"],
+                   default="upsample",
+                   help="'upsample' = the reference's gather-time bilinear "
+                        "interpolate to the primary grid; 'native' = run "
+                        "the aux stream AT the store's resolution (the FNO "
+                        "is discretization-invariant) — 4x cheaper aux "
+                        "forward at --aux-grid 128")
     p.add_argument("--n-test", type=int, default=1)
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=0,
@@ -171,6 +178,7 @@ def main(argv=None):
                                      else a.primary_store_dtype),
                 aux_chunks=a.aux_chunks,
                 aux_upsample_at_gather=(aux_grid != a.grid),
+                aux_native_compute=(a.aux_compute == "native"),
                 fno_remat=a.remat, continue_training=a.continue_training,
                 run_dir=str(out), model_name=f"ns_prod_{variant}{tag}",
                 log_every=500,

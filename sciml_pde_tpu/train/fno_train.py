@@ -188,6 +188,7 @@ def build_aux_step(
     train_gather=None,
     aux_chunks: int = 1,
     aux_resize_to: tuple[int, ...] | None = None,
+    aux_native_grid: jnp.ndarray | None = None,
 ):
     """One jitted optimizer step for two-head aux joint training.
 
@@ -209,6 +210,13 @@ def build_aux_step(
         the reference's ``if_downsample`` gather-time interpolate
         (utils_2d_ns.py:139-161) — so the resident aux store can live at
         its cheaper native resolution.
+      - ``aux_native_grid`` (mutually exclusive with ``aux_resize_to``)
+        runs the aux stream AT the store's native resolution instead —
+        the FNO backbone is discretization-invariant (shared spectral
+        weights at modes << N), so the aux forward costs 4x less at a
+        128^2 store under a 256^2 primary.  Beyond the reference (which
+        always interpolates, utils_2d_ns.py:142); the supervision signal
+        is the same fields on a coarser grid.
     """
     row_map = None if aux_row_map is None else np.asarray(aux_row_map, np.int32)
     train_gather = train_gather or gather_windows
@@ -232,7 +240,11 @@ def build_aux_step(
             a = jax.image.resize(a, target, method="linear")
         return a
 
-    chunked = aux_chunks > 1 or aux_resize_to is not None
+    if aux_resize_to is not None and aux_native_grid is not None:
+        raise ValueError("aux_resize_to and aux_native_grid are exclusive")
+    chunked = (
+        aux_chunks > 1 or aux_resize_to is not None or aux_native_grid is not None
+    )
 
     def loss_fn(params, x, y, xa, ya, grid, grid_a):
         pred_p, pred_a = model.apply({"params": params}, x, grid, xa, grid_a)
@@ -254,7 +266,9 @@ def build_aux_step(
         xa_s = xa.reshape(aux_chunks, cb, *xa.shape[1:])
         ya_s = ya.reshape(aux_chunks, cb, *ya.shape[1:])
         # ``grid`` arrives already batch-broadcast for the primary pass
-        ga = _broadcast_grid(grid[0], cb)
+        ga = _broadcast_grid(
+            grid[0] if aux_native_grid is None else aux_native_grid, cb
+        )
 
         @jax.checkpoint
         def body(acc, chunk):
@@ -357,6 +371,9 @@ def run_training(
     aux_chunks: int = 1,  # scan the aux stream in K remat'd chunks per step
     aux_upsample_at_gather: bool = False,  # NS: keep aux store at native res,
     # bilinear-upsample gathered windows inside the step (utils_2d_ns.py:139-161)
+    aux_native_compute: bool = False,  # run the aux stream AT the store's
+    # native resolution (FNO is discretization-invariant) — 4x cheaper aux
+    # forward at a 128^2 store; requires aux_upsample_at_gather
     fno_remat: bool = False,  # rematerialize FNO spectral blocks on backward
     primary_store_dtype: str | None = None,  # e.g. "bf16": device primary train store (NS)
     modes: int = 12,
@@ -573,15 +590,25 @@ def run_training(
             },
             total_steps, scheduler, 1e-4, scheduler_step, scheduler_gamma,
         )
-        # aux store kept at a different (cheaper) resolution: upsample the
-        # gathered windows to the primary grid inside the step
+        # aux store kept at a different (cheaper) resolution: either
+        # upsample the gathered windows to the primary grid inside the
+        # step, or run the aux stream at native res (aux_native_compute)
         aux_spatial = tuple(ds.aux_train.data.shape[2:-1])
         prim_spatial = tuple(train_w.data.shape[2:-1])
-        aux_resize_to = prim_spatial if aux_spatial != prim_spatial else None
+        aux_resize_to = aux_native_grid = None
+        if aux_spatial != prim_spatial:
+            if aux_native_compute:
+                aux_native_grid = jax.image.resize(
+                    train_w.grid, (*aux_spatial, train_w.grid.shape[-1]),
+                    method="linear",
+                )
+            else:
+                aux_resize_to = prim_spatial
         step_fn, val_fn = build_aux_step(
             model, tx, initial_step, rollout_test, num_aux_samples, auxiliary_weight,
             aux_row_map=aux_row_map, train_gather=train_gather,
             aux_chunks=aux_chunks, aux_resize_to=aux_resize_to,
+            aux_native_grid=aux_native_grid,
         )
     else:
         params = model.init(key, x0, g0)["params"]

@@ -97,6 +97,34 @@ def test_gather_resize_matches_pre_resized_store():
     )
 
 
+def test_native_compute_runs_and_same_res_matches_joint():
+    """aux_native_grid: aux stream at store res.  At a low-res store the
+    step must run with finite loss; at the SAME res it must equal the
+    joint concatenated pass exactly."""
+    model, tx, params, opt_state, prim, aux, grid, idx = _setup()
+    rng = np.random.default_rng(11)
+    aux_lo = jnp.asarray(rng.normal(size=(8, T, S // 2, S // 2, C)).astype(np.float32))
+    grid_lo = jax.image.resize(grid, (S // 2, S // 2, 2), method="linear")
+
+    native, _ = build_aux_step(
+        model, tx, INIT, ROLL, NA, 0.7, aux_chunks=2, aux_native_grid=grid_lo
+    )
+    p, l, g = _one_step(native, params, opt_state, prim, aux_lo, grid, idx)
+    assert np.isfinite(l) and np.isfinite(g)
+
+    # same-res store: native-compute path == joint pass
+    base, _ = build_aux_step(model, tx, INIT, ROLL, NA, 0.7)
+    native_same, _ = build_aux_step(
+        model, tx, INIT, ROLL, NA, 0.7, aux_native_grid=grid
+    )
+    p1, l1, _ = _one_step(base, params, opt_state, prim, aux, grid, idx)
+    p2, l2, _ = _one_step(native_same, params, opt_state, prim, aux, grid, idx)
+    assert np.isclose(l1, l2, rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6), p1, p2
+    )
+
+
 def _write_ns_file(path, n_traj, n_frames, s, seed):
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:
