@@ -1,5 +1,8 @@
 #!/bin/bash
-# v34: time-aware reorder of v33 for the round-2 clock (round ends ~19:20Z).
+# v35: v34 + an aux24-native item (aux stream computed AT the 128^2
+# store resolution -- discretization-invariant FNO, ~1.5 h vs ~6 h
+# upsampled) inserted between aux12 and the transformer item.
+# Original v34 header: time-aware reorder of v33 for the round-2 clock (round ends ~19:20Z).
 #  - inherits the in-flight ns_aux_refbatch_bf16 (waits on its pid, $1).
 #  - aux12 ([2,1,12] @ 128^2 store, ~3 h) replaces aux24 as the in-round
 #    aux-volume shot; the full 24-file 128^2 family is still generated so
@@ -23,7 +26,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 Q=runs/queue5
 mkdir -p $Q
-echo "[q5] v34 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
+echo "[q5] v35 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
 
 bench_guard() {
   local done=0
@@ -118,6 +121,24 @@ if ! summary_has runs/ns_production/summary.json aux_aux12; then
     --primary-store-dtype bf16 --remat --tag aux12 --eval-only || true
 fi
 
+# 2b. NS FNO aux24-NATIVE: the full reference aux volume ([2,1,24] x 24
+#     samples) with the aux forward AT the 128^2 store resolution
+#     (--aux-compute native) — lands the volume ladder's top rung in-round
+probe
+run_item ns_aux24_native 12600 \
+  python experiments/ns_production.py --skip-gen --variants aux \
+  --n-primary-aux 1 --n-aux-per 24 --aux-grid 128 --aux-chunks 8 \
+  --aux-compute native --primary-store-dtype bf16 --remat --tag aux24nat \
+  --continue-training
+if ! summary_has runs/ns_production/summary.json aux_aux24nat; then
+  probe
+  run_item ns_aux24_native_evalonly 3600 \
+    python experiments/ns_production.py --skip-gen --variants aux \
+    --n-primary-aux 1 --n-aux-per 24 --aux-grid 128 --aux-chunks 8 \
+    --aux-compute native --primary-store-dtype bf16 --remat --tag aux24nat \
+    --eval-only || true
+fi
+
 # 3. NS transformer aux retry at 3 resident aux files (~14 min/epoch: will
 #    spill past the round boundary; the eval guard + round-3 resume land it)
 probe
@@ -173,4 +194,4 @@ if ! summary_has runs/ns_production/summary.json aux_aux24; then
     --primary-store-dtype bf16 --remat --tag aux24 --eval-only || true
 fi
 
-echo "[q5] v34 ALL DONE $(date)" >> $Q/queue.log
+echo "[q5] v35 ALL DONE $(date)" >> $Q/queue.log
