@@ -164,6 +164,26 @@ def test_native_res_store_e2e(tmp_path):
     assert np.isfinite(res.best_val)
 
 
+def test_shard_store_with_chunked_upsampled_aux(tmp_path):
+    """Composition: sharded trajectory store x scanned aux chunks x
+    gather-time upsample, on the 8-device CPU mesh."""
+    for i in [0, 1, 2, 3, 250]:
+        _write_ns_file(tmp_path / f"ns_incom_inhom_2d_256-{i}.h5", 2, T, S, i)
+    for i in range(8):
+        _write_ns_file(tmp_path / f"ns_aux_2d_8-{i}.h5", 2, T, S // 2, 100 + i)
+
+    res = run_training(
+        base_path=str(tmp_path), dataset_family="ns", if_aux=True,
+        train_subsample=(4, 4, 8), num_aux_samples=2, test_range=(250, 251),
+        aux_name="ns_aux_2d_8", aux_upsample_at_gather=True, aux_chunks=2,
+        shard_store=True,
+        modes=4, width=8, initial_step=INIT, rollout_test=ROLL,
+        num_channels=C, batch_size=8, epochs=1,
+        run_dir=str(tmp_path / "run_sh"), model_name="t_aux_shard", log_every=1000,
+    )
+    assert np.isfinite(res.best_val)
+
+
 def test_transformer_native_res_store_e2e(tmp_path):
     """Same lever in the transformer trainer (build_transformer_aux_step
     aux_resize_to): low-res aux store, in-step upsample."""
