@@ -1,5 +1,5 @@
 #!/bin/bash
-# v35: v34 + an aux24-native item (aux stream computed AT the 128^2
+# v36: v34 + an aux24-native item (aux stream computed AT the 128^2
 # store resolution -- discretization-invariant FNO, ~1.5 h vs ~6 h
 # upsampled) inserted between aux12 and the transformer item.
 # Original v34 header: time-aware reorder of v33 for the round-2 clock (round ends ~19:20Z).
@@ -26,7 +26,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 Q=runs/queue5
 mkdir -p $Q
-echo "[q5] v35 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
+echo "[q5] v36 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
 
 bench_guard() {
   local done=0
@@ -139,16 +139,22 @@ if ! summary_has runs/ns_production/summary.json aux_aux24nat; then
     --eval-only || true
 fi
 
-# 3. NS transformer aux retry at 3 resident aux files (~14 min/epoch: will
-#    spill past the round boundary; the eval guard + round-3 resume land it)
+# 3. NS transformer aux, in-round recipe: 3 resident aux files, batch 4 x
+#    grad-accum 2 (same effective batch 8 and optimizer trajectory as the
+#    reference's 2x4 — equal microbatches under MultiSteps), 20 epochs.
+#    The 2x4 30-epoch variant is ~6.5 h (14 min/epoch) and the filesystem
+#    is typically recycled at the round boundary, so a row that LANDS
+#    beats a stronger row that evaporates.
 probe
-run_item ns_tf_aux3 23000 \
-  python experiments/ns_transformer.py --variants aux \
+run_item ns_tf_aux20 16200 \
+  python experiments/ns_transformer.py --variants aux --epochs 20 \
+  --batch-size 4 --grad-accum 2 \
   --num-aux-samples 3 --primary-store-dtype bf16 --remat --continue-training
 if ! summary_has runs/ns_transformer/summary.json ns_aux; then
   probe
-  run_item ns_tf_aux3_evalonly 5400 \
-    python experiments/ns_transformer.py --variants aux \
+  run_item ns_tf_aux20_evalonly 5400 \
+    python experiments/ns_transformer.py --variants aux --epochs 20 \
+    --batch-size 4 --grad-accum 2 \
     --num-aux-samples 3 --primary-store-dtype bf16 --remat --eval-only || true
 fi
 
@@ -194,4 +200,4 @@ if ! summary_has runs/ns_production/summary.json aux_aux24; then
     --primary-store-dtype bf16 --remat --tag aux24 --eval-only || true
 fi
 
-echo "[q5] v35 ALL DONE $(date)" >> $Q/queue.log
+echo "[q5] v36 ALL DONE $(date)" >> $Q/queue.log
