@@ -32,10 +32,7 @@ def test_dr_solver_field_statistics_golden():
     np.testing.assert_allclose(v20.std(), GOLDEN_V_STD_F20, rtol=1e-3)
 
 
-GOLDEN_DS_VAL = 0.0  # replaced after recording; see module docstring
-
-
-def test_fno_short_training_val_golden(tmp_path, capsys):
+def test_fno_short_training_val_golden(tmp_path):
     """Fixed-seed 2-epoch FNO on 10 fixed-seed DR trajectories: the best
     val nRMSE^2 must stay within 5% of the recorded golden value."""
     generate_dataset(tmp_path / "2D_diff-react_test_all.h5", 10,
