@@ -1,5 +1,5 @@
 #!/bin/bash
-# v36: v34 + an aux24-native item (aux stream computed AT the 128^2
+# v37: v34 + an aux24-native item (aux stream computed AT the 128^2
 # store resolution -- discretization-invariant FNO, ~1.5 h vs ~6 h
 # upsampled) inserted between aux12 and the transformer item.
 # Original v34 header: time-aware reorder of v33 for the round-2 clock (round ends ~19:20Z).
@@ -26,7 +26,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 Q=runs/queue5
 mkdir -p $Q
-echo "[q5] v36 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
+echo "[q5] v37 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
 
 bench_guard() {
   local done=0
@@ -139,22 +139,23 @@ if ! summary_has runs/ns_production/summary.json aux_aux24nat; then
     --eval-only || true
 fi
 
-# 3. NS transformer aux, in-round recipe: 3 resident aux files, batch 4 x
-#    grad-accum 2 (same effective batch 8 and optimizer trajectory as the
-#    reference's 2x4 — equal microbatches under MultiSteps), 20 epochs.
-#    The 2x4 30-epoch variant is ~6.5 h (14 min/epoch) and the filesystem
-#    is typically recycled at the round boundary, so a row that LANDS
-#    beats a stronger row that evaporates.
+# 3. NS transformer aux, in-round recipe: 3 resident aux files, reference
+#    microbatching (2 x accum 4), 10 epochs.  The step is COMPUTE-bound at
+#    ~55 ms per 256^2 ViT window fwd+bwd (measured: baseline 2-window
+#    dispatch 0.112 s, crashed 14-window aux dispatch 0.76 s), so an aux
+#    epoch costs ~14.5 min regardless of batch size; 10 epochs (~2.4 h)
+#    is what lands in-round next to the 30-epoch baseline (the filesystem
+#    is typically recycled at the round boundary — a landed row beats a
+#    stronger row that evaporates; round 3 extends with
+#    --continue-training).
 probe
-run_item ns_tf_aux20 16200 \
-  python experiments/ns_transformer.py --variants aux --epochs 20 \
-  --batch-size 4 --grad-accum 2 \
+run_item ns_tf_aux10 12600 \
+  python experiments/ns_transformer.py --variants aux --epochs 10 \
   --num-aux-samples 3 --primary-store-dtype bf16 --remat --continue-training
 if ! summary_has runs/ns_transformer/summary.json ns_aux; then
   probe
-  run_item ns_tf_aux20_evalonly 5400 \
-    python experiments/ns_transformer.py --variants aux --epochs 20 \
-    --batch-size 4 --grad-accum 2 \
+  run_item ns_tf_aux10_evalonly 5400 \
+    python experiments/ns_transformer.py --variants aux --epochs 10 \
     --num-aux-samples 3 --primary-store-dtype bf16 --remat --eval-only || true
 fi
 
@@ -200,4 +201,4 @@ if ! summary_has runs/ns_production/summary.json aux_aux24; then
     --primary-store-dtype bf16 --remat --tag aux24 --eval-only || true
 fi
 
-echo "[q5] v36 ALL DONE $(date)" >> $Q/queue.log
+echo "[q5] v37 ALL DONE $(date)" >> $Q/queue.log
