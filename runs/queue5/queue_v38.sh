@@ -1,4 +1,7 @@
 #!/bin/bash
+# v38: idempotent handoff — every train item is guarded on its
+# summary key, so a runner handoff (blocking-flock inheritance) never
+# re-runs a landed result.
 # v37: v34 + an aux24-native item (aux stream computed AT the 128^2
 # store resolution -- discretization-invariant FNO, ~1.5 h vs ~6 h
 # upsampled) inserted between aux12 and the transformer item.
@@ -26,7 +29,7 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 Q=runs/queue5
 mkdir -p $Q
-echo "[q5] v37 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
+echo "[q5] v38 start pid=$$ (inheriting refbatch pid=$1) $(date)" >> $Q/queue.log
 
 bench_guard() {
   local done=0
@@ -108,11 +111,13 @@ run_item ns_gen_aux128 10800 \
 
 # 2. NS FNO aux12: [2,1,12] x 12 aux samples over the 128^2 upsampled
 #    store, batch 8 -> 8 primary + 96 aux windows/step in 8 remat'd chunks
-probe
-run_item ns_aux12 18000 \
-  python experiments/ns_production.py --skip-gen --variants aux \
-  --n-primary-aux 1 --n-aux-per 12 --aux-grid 128 --aux-chunks 8 \
-  --primary-store-dtype bf16 --remat --tag aux12
+if ! summary_has runs/ns_production/summary.json aux_aux12; then
+  probe
+  run_item ns_aux12 18000 \
+    python experiments/ns_production.py --skip-gen --variants aux \
+    --n-primary-aux 1 --n-aux-per 12 --aux-grid 128 --aux-chunks 8 \
+    --primary-store-dtype bf16 --remat --tag aux12 --continue-training
+fi
 if ! summary_has runs/ns_production/summary.json aux_aux12; then
   probe
   run_item ns_aux12_evalonly 3600 \
@@ -124,12 +129,14 @@ fi
 # 2b. NS FNO aux24-NATIVE: the full reference aux volume ([2,1,24] x 24
 #     samples) with the aux forward AT the 128^2 store resolution
 #     (--aux-compute native) — lands the volume ladder's top rung in-round
-probe
-run_item ns_aux24_native 12600 \
-  python experiments/ns_production.py --skip-gen --variants aux \
-  --n-primary-aux 1 --n-aux-per 24 --aux-grid 128 --aux-chunks 8 \
-  --aux-compute native --primary-store-dtype bf16 --remat --tag aux24nat \
-  --continue-training
+if ! summary_has runs/ns_production/summary.json aux_aux24nat; then
+  probe
+  run_item ns_aux24_native 12600 \
+    python experiments/ns_production.py --skip-gen --variants aux \
+    --n-primary-aux 1 --n-aux-per 24 --aux-grid 128 --aux-chunks 8 \
+    --aux-compute native --primary-store-dtype bf16 --remat --tag aux24nat \
+    --continue-training
+fi
 if ! summary_has runs/ns_production/summary.json aux_aux24nat; then
   probe
   run_item ns_aux24_native_evalonly 3600 \
@@ -148,10 +155,12 @@ fi
 #    is typically recycled at the round boundary — a landed row beats a
 #    stronger row that evaporates; round 3 extends with
 #    --continue-training).
-probe
-run_item ns_tf_aux10 12600 \
-  python experiments/ns_transformer.py --variants aux --epochs 10 \
-  --num-aux-samples 3 --primary-store-dtype bf16 --remat --continue-training
+if ! summary_has runs/ns_transformer/summary.json ns_aux; then
+  probe
+  run_item ns_tf_aux10 12600 \
+    python experiments/ns_transformer.py --variants aux --epochs 10 \
+    --num-aux-samples 3 --primary-store-dtype bf16 --remat --continue-training
+fi
 if ! summary_has runs/ns_transformer/summary.json ns_aux; then
   probe
   run_item ns_tf_aux10_evalonly 5400 \
@@ -188,11 +197,13 @@ run_item dr_ds256 28800 python experiments/dr_parity.py \
 
 # 8. NS FNO aux24 — the reference-exact basic_ds8 recipe ([2,1,24] x 24
 #    aux samples), ~6 h; data already on disk from item 1
-probe
-run_item ns_aux24 25200 \
-  python experiments/ns_production.py --skip-gen --variants aux \
-  --n-primary-aux 1 --n-aux-per 24 --aux-grid 128 --aux-chunks 8 \
-  --primary-store-dtype bf16 --remat --tag aux24 --continue-training
+if ! summary_has runs/ns_production/summary.json aux_aux24; then
+  probe
+  run_item ns_aux24 25200 \
+    python experiments/ns_production.py --skip-gen --variants aux \
+    --n-primary-aux 1 --n-aux-per 24 --aux-grid 128 --aux-chunks 8 \
+    --primary-store-dtype bf16 --remat --tag aux24 --continue-training
+fi
 if ! summary_has runs/ns_production/summary.json aux_aux24; then
   probe
   run_item ns_aux24_evalonly 3600 \
@@ -201,4 +212,4 @@ if ! summary_has runs/ns_production/summary.json aux_aux24; then
     --primary-store-dtype bf16 --remat --tag aux24 --eval-only || true
 fi
 
-echo "[q5] v37 ALL DONE $(date)" >> $Q/queue.log
+echo "[q5] v38 ALL DONE $(date)" >> $Q/queue.log
