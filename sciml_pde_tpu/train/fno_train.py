@@ -308,13 +308,32 @@ def build_aux_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, (loss, lp, la), g_norm
 
+    def loss_fn_split(params, x, y, xa, ya, gb, ga):
+        # mixed-resolution streams can't share the joint concatenated
+        # pass; method-split is output-identical (test_aux_chunked.py::
+        # test_method_split_matches_joint_call)
+        pred_p = model.apply({"params": params}, x, gb, method="primary")
+        lp = nrmse_loss(pred_p, y)
+        pred_a = model.apply({"params": params}, xa, ga, method="auxiliary")
+        la = nrmse_loss(pred_a, ya)
+        return lp + auxiliary_weight * la, (lp, la)
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_xy(params, opt_state, x, y, xa, ya, grid):
         """Host-streaming variant: windows arrive pre-gathered
-        (data/stream.AuxHostWindowLoader)."""
+        (data/stream.AuxHostWindowLoader).  With ``aux_native_grid`` the
+        aux windows arrive at the store's native resolution and the aux
+        stream runs there (same lever as the device-store path)."""
+        f32 = jnp.float32
+        x, y, xa, ya = x.astype(f32), y.astype(f32), xa.astype(f32), ya.astype(f32)
         gb = _broadcast_grid(grid, x.shape[0])
-        ga = _broadcast_grid(grid, xa.shape[0])
-        (loss, (lp, la)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        if aux_native_grid is None:
+            ga = _broadcast_grid(grid, xa.shape[0])
+            lfn = loss_fn
+        else:
+            ga = _broadcast_grid(aux_native_grid, xa.shape[0])
+            lfn = loss_fn_split
+        (loss, (lp, la)), grads = jax.value_and_grad(lfn, has_aux=True)(
             params, x, y, xa, ya, gb, ga
         )
         g_norm = optax.global_norm(grads)
@@ -415,10 +434,17 @@ def run_training(
 
     if host_stream and shard_store:
         raise ValueError("host_stream and shard_store are mutually exclusive")
-    if host_stream and (aux_chunks > 1 or aux_upsample_at_gather):
+    if host_stream and aux_chunks > 1:
         raise ValueError(
-            "aux_chunks / aux_upsample_at_gather are device-store levers; "
-            "the host-stream path ships pre-gathered full-res windows"
+            "aux_chunks is a device-store lever; the host-stream path "
+            "ships pre-gathered windows (the shipped batch is already the "
+            "memory granularity)"
+        )
+    if host_stream and aux_upsample_at_gather and not aux_native_compute:
+        raise ValueError(
+            "the in-step upsample is a device-store lever; with "
+            "host_stream either ship pre-upsampled windows (default) or "
+            "run the aux stream at native res (aux_native_compute)"
         )
 
     aux_row_map = None

@@ -125,6 +125,36 @@ def test_native_compute_runs_and_same_res_matches_joint():
     )
 
 
+def test_step_xy_native_matches_device_gather():
+    """Host-streamed native-res aux (step.xy + AuxHostWindowLoader) must
+    equal the device-store native step on the same batch — the round-3
+    composition for stores past one chip's HBM."""
+    from sciml_pde_tpu.data.stream import AuxHostWindowLoader
+
+    model, tx, params, opt_state, prim, _, grid, idx = _setup()
+    rng = np.random.default_rng(13)
+    aux_lo = jnp.asarray(rng.normal(size=(8, T, S // 2, S // 2, C)).astype(np.float32))
+    grid_lo = jax.image.resize(grid, (S // 2, S // 2, 2), method="linear")
+
+    native, _ = build_aux_step(
+        model, tx, INIT, ROLL, NA, 0.7, aux_native_grid=grid_lo
+    )
+    p1, l1, g1 = _one_step(native, params, opt_state, prim, aux_lo, grid, idx)
+
+    loader = AuxHostWindowLoader(
+        np.asarray(prim), np.asarray(aux_lo), np.asarray(idx), INIT, ROLL,
+        batch_size=len(idx), num_aux=NA, shuffle=False, prefetch=False,
+    )
+    x, y, xa, ya = next(iter(loader))
+    params2, opt2 = jax.tree.map(jnp.copy, (params, opt_state))
+    p2, _, (l2, _, _), g2 = native.xy(params2, opt2, x, y, xa, ya, grid)
+    assert np.isclose(l1, float(l2), rtol=1e-5)
+    assert np.isclose(g1, float(g2), rtol=1e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6), p1, p2
+    )
+
+
 def _write_ns_file(path, n_traj, n_frames, s, seed):
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:

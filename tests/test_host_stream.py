@@ -27,6 +27,11 @@ def ns_folder(tmp_path_factory):
     for i in range(4):
         generate_ns_file(folder / f"ns_aux_2d_256-{i}.h5", 100 + i, aux_cfg)
     generate_ns_file(folder / "ns_aux_2d_256-250.h5", 300, aux_cfg)
+    # half-res aux family for the native-compute composition
+    aux_lo_cfg = NSIncompConfig(**{**TINY, **VARIANTS["convection"],
+                                   "grid_size": (8, 8)})
+    for i in range(4):
+        generate_ns_file(folder / f"ns_aux_2d_8-{i}.h5", 200 + i, aux_lo_cfg)
     return folder
 
 
@@ -86,6 +91,23 @@ def test_host_stream_aux_e2e(ns_folder, tmp_path):
     assert np.isfinite(res.best_val)
 
 
+def test_host_stream_native_aux_e2e(ns_folder, tmp_path):
+    """host_stream + native-res aux store: the round-3 ds32 composition
+    (8 primary files exceed HBM; the aux stream trains at its cheap
+    native resolution)."""
+    res = run_training(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+        train_subsample=(2, 2, 4), num_aux_samples=2, test_range=(250, 251),
+        aux_name="ns_aux_2d_8",
+        modes=3, width=8, initial_step=3, rollout_test=1,
+        num_channels=3, batch_size=8, epochs=2,
+        run_dir=str(tmp_path), model_name="t_ns_stream_native", log_every=0,
+        host_stream=True, aux_upsample_at_gather=True, aux_native_compute=True,
+        primary_store_dtype="bf16",
+    )
+    assert np.isfinite(res.best_val)
+
+
 def test_host_stream_guards(ns_folder, tmp_path):
     with pytest.raises(ValueError):
         run_training(
@@ -93,6 +115,15 @@ def test_host_stream_guards(ns_folder, tmp_path):
             train_subsample=(2, 2, 4), test_range=(250, 251),
             host_stream=True, shard_store=True,
             run_dir=str(tmp_path), model_name="t_guard",
+        )
+    # in-step upsample stays a device-store lever
+    with pytest.raises(ValueError):
+        run_training(
+            base_path=str(ns_folder), dataset_family="ns", if_aux=True,
+            train_subsample=(2, 2, 4), num_aux_samples=2,
+            test_range=(250, 251), aux_name="ns_aux_2d_8",
+            host_stream=True, aux_upsample_at_gather=True,
+            run_dir=str(tmp_path), model_name="t_guard2",
         )
 
 
