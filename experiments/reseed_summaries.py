@@ -28,6 +28,7 @@ MAP = [
     ("ns_production_summary_r2.json", "ns_production"),
     ("ns_production_summary_r2b.json", "ns_production"),
     ("ns_production_summary_r2c.json", "ns_production"),
+    ("ns_production_summary_r2d.json", "ns_production"),
     ("ns_transformer_summary_r2.json", "ns_transformer"),
     ("ns_transformer_summary_r2b.json", "ns_transformer"),
     ("plume3d_parity_summary_r2.json", "plume3d_parity"),
