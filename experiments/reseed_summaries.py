@@ -38,6 +38,12 @@ MAP = [
     ("comparison_dr_protocol_r2.json", "comparison_dr"),
     ("bvp_study_100k_r2.json", "bvp_study"),
     ("airfoil_flow_r2.json", "airfoil_flow"),
+    # auto-snapshots (experiments/snapshot_watch.py) come last: they are the
+    # freshest capture of each run summary and win over the manual ones
+    ("ns_production_summary_auto.json", "ns_production"),
+    ("ns_transformer_summary_auto.json", "ns_transformer"),
+    ("dr_parity_ds128_summary_auto.json", "dr_parity_ds128"),
+    ("dr_parity_ds256_summary_auto.json", "dr_parity_ds256"),
 ]
 
 
