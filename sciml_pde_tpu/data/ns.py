@@ -99,14 +99,26 @@ def load_ns_baseline(
     sim_name: str = "ns_incom_inhom_2d_256",
     test_range=(250, 275),
     to_device: bool = True,
+    store_dtype: str | None = None,
 ) -> NSBaselineDataset:
     """``to_device=False`` keeps the train store in host RAM for the
     host-streaming pipeline (stores beyond one chip's HBM); the test
-    store is small (one window per trajectory) and stays on device."""
+    store is small (one window per trajectory) and stays on device.
+
+    ``store_dtype="bf16"`` halves the TRAIN store (the 8-file ds32
+    baseline is 25.2 GB fp32 — past one v5e's HBM — vs 12.6 GB bf16);
+    the train step casts gathered windows back to fp32 before any
+    compute, and the test store / all metrics stay fp32 — same contract
+    as the aux loader's ``store_dtype``."""
     base = Path(base_path)
     train, _ = _load_primary(base, sim_name, train_subsample)
     test = _load_test(base, sim_name, test_range)
     grid = jnp.asarray(unit_grid(train.shape[2], train.shape[3]))
+    if store_dtype is not None:
+        import ml_dtypes
+
+        dt = {"bf16": ml_dtypes.bfloat16, "f32": np.float32}[store_dtype]
+        train = train.astype(dt)
     return NSBaselineDataset(
         train=WindowedTrajectories(
             train, grid, initial_step=initial_step, rollout=rollout_test,

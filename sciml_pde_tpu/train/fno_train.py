@@ -122,6 +122,9 @@ def build_baseline_step(
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, data, grid, idx, key):
         x, y = train_gather(data, idx, initial_step, gather_rollout)
+        # the train store may live on device in bf16 (load_ns_baseline
+        # store_dtype); compute stays fp32 from the gather on
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
         x, y = maybe_augment(x, y, key)
         gb = _broadcast_grid(grid, idx.shape[0])
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
@@ -133,12 +136,14 @@ def build_baseline_step(
     @jax.jit
     def val_loss(params, data, grid, idx):
         x, y = gather_windows(data, idx, initial_step, gather_rollout)
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
         gb = _broadcast_grid(grid, idx.shape[0])
         return loss_fn(params, x, y, gb)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step_xy(params, opt_state, x, y, grid, key):
         """Host-streaming variant: windows arrive pre-gathered (data/stream.py)."""
+        x, y = x.astype(jnp.float32), y.astype(jnp.float32)
         x, y = maybe_augment(x, y, key)
         gb = _broadcast_grid(grid, x.shape[0])
         loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
@@ -159,6 +164,7 @@ def build_baseline_step(
             params, opt_state = carry
             idx, k = sk
             x, y = train_gather(data, idx, initial_step, gather_rollout)
+            x, y = x.astype(jnp.float32), y.astype(jnp.float32)
             x, y = maybe_augment(x, y, k)
             gb = _broadcast_grid(grid, idx.shape[0])
             loss, grads = jax.value_and_grad(loss_fn)(params, x, y, gb)
@@ -489,7 +495,7 @@ def run_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 sim_name=sim_name, test_range=test_range,
-                to_device=not host_stream,
+                to_device=not host_stream, store_dtype=primary_store_dtype,
             )
             train_w, test_w = ds.train, ds.test
         elif dataset_family == "ns3d":

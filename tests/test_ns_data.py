@@ -75,6 +75,36 @@ def test_ns_aux_training_runs_bf16_stores_remat(ns_folder, tmp_path):
     assert np.isfinite(res.best_val)
 
 
+def test_ns_baseline_bf16_store_training_runs(ns_folder, tmp_path):
+    """Baseline twin of the bf16-store path (the ds32 8-primary-file
+    baseline is 25.2 GB fp32 — past HBM — vs 12.6 GB bf16): the store
+    loads in bf16, every gather casts back to fp32, and the val metric
+    matches the fp32-store run to bf16-quantization error."""
+    import ml_dtypes
+
+    from sciml_pde_tpu.data.ns import load_ns_baseline
+
+    ds = load_ns_baseline(
+        str(ns_folder), train_subsample=2, initial_step=3, rollout_test=1,
+        test_range=(250, 251), store_dtype="bf16",
+    )
+    assert ds.train.data.dtype == ml_dtypes.bfloat16
+    assert ds.test.data.dtype == np.float32  # test store / metrics stay fp32
+
+    kw = dict(
+        base_path=str(ns_folder), dataset_family="ns", if_aux=False,
+        train_subsample=(2, 2, 4), test_range=(250, 251),
+        modes=4, width=8, initial_step=3, rollout_test=1,
+        num_channels=3, batch_size=8, epochs=2, log_every=1000,
+    )
+    res16 = run_training(primary_store_dtype="bf16", run_dir=str(tmp_path),
+                         model_name="t_ns_b16", **kw)
+    res32 = run_training(run_dir=str(tmp_path), model_name="t_ns_b32", **kw)
+    assert np.isfinite(res16.best_val)
+    # same seed/data/steps: only the store quantization differs
+    assert abs(res16.best_val - res32.best_val) < 0.1 * abs(res32.best_val) + 1e-3
+
+
 def test_ns_baseline_lie_training_runs(ns_folder, tmp_path):
     res = run_training(
         base_path=str(ns_folder), dataset_family="ns", if_aux=False,
