@@ -93,6 +93,11 @@ def main(argv=None):
     p.add_argument("--frames-per-chunk", type=int, default=20,
                    help="frames per jit call during generation (0 = single scan; "
                         "long scans fault some TPU runtimes)")
+    p.add_argument("--resident-rotate", type=int, default=0,
+                   help="R>1: keep the full train pool in host RAM and "
+                        "rotate a 1/R trajectory slice on device per epoch "
+                        "(single-chip path to pools beyond HBM; epochs are "
+                        "per-slice, so R*N epochs = N full passes)")
     p.add_argument("--skip-gen", action="store_true")
     p.add_argument("--eval-only", action="store_true",
                    help="skip training: restore the best-val checkpoint "
@@ -180,6 +185,7 @@ def main(argv=None):
                 aux_upsample_at_gather=(aux_grid != a.grid),
                 aux_native_compute=(a.aux_compute == "native"),
                 fno_remat=a.remat, continue_training=a.continue_training,
+                resident_rotate=a.resident_rotate,
                 run_dir=str(out), model_name=f"ns_prod_{variant}{tag}",
                 log_every=500,
             )

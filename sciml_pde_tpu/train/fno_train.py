@@ -429,15 +429,34 @@ def run_training(
     log_every: int = 50,
     shard_store: bool = False,
     host_stream: bool = False,
+    resident_rotate: int = 0,
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
     Mirrors reference fno/train.py:43 and fno_aux/fno_train_aux.py:43.
+
+    ``resident_rotate=R`` (R > 1) trains on a pool R times larger than
+    one chip's HBM allows device-resident: the full primary (+aux) pool
+    stays in host RAM and a 1/R trajectory slice lives on device,
+    swapped between epochs via bounded chunked transfers
+    (utils/transfer.py).  Epoch ``ep`` trains on slice ``ep % R``, so R
+    consecutive epochs make one full pass over the pool (block-cyclic
+    data order).  This is the single-chip answer to the host-stream
+    path, which this backend's staging-retention leak closes at NS
+    shapes (PERFORMANCE.md): rotation does O(1) large transfers per
+    epoch instead of O(steps), and each resident slice trains at full
+    device-gather throughput.
     """
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
     logger = MetricLogger(run_dir, name=model_name, echo_every=1)
 
+    resident_rotate = int(resident_rotate or 0)
+    if resident_rotate > 1 and (host_stream or shard_store):
+        raise ValueError(
+            "resident_rotate is the device-resident pool-rotation lever; "
+            "it composes with neither host_stream nor shard_store"
+        )
     if host_stream and shard_store:
         raise ValueError("host_stream and shard_store are mutually exclusive")
     if host_stream and aux_chunks > 1:
@@ -453,6 +472,10 @@ def run_training(
             "run the aux stream at native res (aux_native_compute)"
         )
 
+    # host_stream and pool rotation both need the train stores to stay in
+    # host RAM after loading (rotation then places one slice on device)
+    keep_host = host_stream or resident_rotate > 1
+
     aux_row_map = None
     if if_aux:
         if dataset_family == "ns":
@@ -463,7 +486,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
-                to_device=not host_stream, aux_store_dtype=aux_store_dtype,
+                to_device=not keep_host, aux_store_dtype=aux_store_dtype,
                 store_dtype=primary_store_dtype,
                 aux_upsample_at_gather=aux_upsample_at_gather,
             )
@@ -475,7 +498,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
-                to_device=not host_stream, aux_store_dtype=aux_store_dtype,
+                to_device=not keep_host, aux_store_dtype=aux_store_dtype,
                 store_dtype=primary_store_dtype,
             )
         else:
@@ -484,7 +507,7 @@ def run_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, if_downsample=if_downsample,
                 aux_file=aux_file, extra_train_files=extra_train_files,
-                to_device=not host_stream,
+                to_device=not keep_host,
             )
         train_w, test_w = ds.primary_train, ds.primary_test
     else:
@@ -495,7 +518,7 @@ def run_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 sim_name=sim_name, test_range=test_range,
-                to_device=not host_stream, store_dtype=primary_store_dtype,
+                to_device=not keep_host, store_dtype=primary_store_dtype,
             )
             train_w, test_w = ds.train, ds.test
         elif dataset_family == "ns3d":
@@ -505,7 +528,7 @@ def run_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, test_seeds=range(*test_range),
-                to_device=not host_stream, with_aux=False,
+                to_device=not keep_host, with_aux=False,
                 store_dtype=primary_store_dtype,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
@@ -514,7 +537,7 @@ def run_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 extra_train_files=extra_train_files,
-                to_device=not host_stream,
+                to_device=not keep_host,
             )
             train_w, test_w = ds.train, ds.test
 
@@ -563,6 +586,58 @@ def run_training(
             else FNO2d(num_channels=num_channels, modes1=modes, modes2=modes,
                        width=width, initial_step=initial_step, remat=fno_remat)
         )
+
+    # Device-resident pool rotation: keep the full pool host-side, place
+    # slice 0 on device now; _rotate_resident swaps slices between epochs.
+    # The aux store is re-laid in pairing order first (the same identity-
+    # pattern trick the shard_store path uses below), so every resident
+    # primary slice owns exactly the matching contiguous aux slice and
+    # the in-step pairing is ``p -> p*nA + j`` in resident-local indices.
+    _rotate = None
+    if resident_rotate > 1:
+        from sciml_pde_tpu.utils.transfer import device_put_chunked
+
+        R = resident_rotate
+        n_total = train_w.num_trajectories
+        if n_total % R:
+            raise ValueError(
+                f"resident_rotate={R} must divide the pool's "
+                f"{n_total} trajectories"
+            )
+        n_res = n_total // R
+        prim_host = np.asarray(train_w.data)
+        aux_host_rot = None
+        nA = num_aux_samples
+        if if_aux:
+            perm = (
+                np.asarray(aux_row_map, np.int64).reshape(-1)
+                if aux_row_map is not None
+                else np.arange(n_total * nA, dtype=np.int64)
+            )
+            aux_host_rot = np.asarray(ds.aux_train.data)[perm]
+            aux_row_map = None  # identity pattern in resident-local indices
+
+        def _rotate(k: int, old_p=None, old_a=None):
+            # The remote backend ignores donation, so delete the outgoing
+            # buffers BEFORE building the incoming ones: the chunked build
+            # transiently peaks at ~2x the slice (PERFORMANCE.md), and the
+            # old slice must not still be holding HBM under that peak.
+            for buf in (old_p, old_a):
+                if buf is not None:
+                    jax.block_until_ready(buf)
+                    buf.delete()
+            p = device_put_chunked(prim_host[k * n_res:(k + 1) * n_res])
+            a = None
+            if aux_host_rot is not None:
+                a = device_put_chunked(
+                    aux_host_rot[k * n_res * nA:(k + 1) * n_res * nA]
+                )
+            return p, a
+
+        train_w.data, _aux0 = _rotate(0)
+        if if_aux:
+            ds.aux_train.data = _aux0
+        _rot_current = 0
 
     train_idx = train_w.window_index()
     test_idx = test_w.window_index()
@@ -769,6 +844,19 @@ def run_training(
     last_ckpt_t = 0.0
     ckpt_min_interval_s = 60.0
     for ep in range(start_epoch, epochs):
+        if _rotate is not None and (ep % resident_rotate) != _rot_current:
+            # all prior dispatches read the old slice: params is the last
+            # async output chained on them, so readiness of params implies
+            # the old buffers are safe to free
+            jax.block_until_ready(params)
+            k = ep % resident_rotate
+            train_w.data, _new_aux = _rotate(
+                k, old_p=train_w.data,
+                old_a=ds.aux_train.data if if_aux else None,
+            )
+            if if_aux:
+                ds.aux_train.data = _new_aux
+            _rot_current = k
         # per-step RNG only matters for on-device Lie augmentation; a
         # per-epoch key keeps the hot loop free of host-side fold_ins
         ep_key = jax.random.fold_in(key, ep)
