@@ -72,6 +72,10 @@ def main(argv=None):
                    help="device dtype of the primary TRAIN store (aux variant); "
                         "bf16 + --remat fits the 1-primary + 6-aux 256^2 "
                         "family and the aux step in HBM")
+    p.add_argument("--resident-rotate", type=int, default=0,
+                   help="R>1: full pool in host RAM, 1/R trajectory slice "
+                        "device-resident, rotated between epochs (epochs "
+                        "are per-slice: R*N epochs = N full passes)")
     p.add_argument("--seed", type=int, default=16)
     p.add_argument("--tag", default="")
     p.add_argument("--continue-training", action="store_true")
@@ -114,6 +118,7 @@ def main(argv=None):
         use_checkpoint=a.remat,
         test_range=(250, 250 + a.n_test),
         host_stream=a.host_stream,
+        resident_rotate=a.resident_rotate,
         aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
         primary_store_dtype=(None if a.primary_store_dtype == "f32"
                              else a.primary_store_dtype),

@@ -354,10 +354,18 @@ def run_transformer_training(
     host_stream: bool = False,  # keep the train stores in host RAM and
     # stream pre-gathered window batches (stores beyond one chip's HBM;
     # the NS aux pairing at reference num_aux_samples=6 is ~9.5 GB)
+    resident_rotate: int = 0,  # R>1: full pool in host RAM, 1/R trajectory
+    # slice device-resident, swapped between epochs (block-cyclic; the
+    # single-chip beyond-HBM path — see train/fno_train.py for semantics)
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
     logger = MetricLogger(run_dir, name=model_name, echo_every=1)
+
+    resident_rotate = int(resident_rotate or 0)
+    if resident_rotate > 1 and host_stream:
+        raise ValueError("resident_rotate and host_stream are mutually exclusive")
+    keep_host = host_stream or resident_rotate > 1
 
     aux_row_map = None
     if dataset_family == "ns":
@@ -369,7 +377,7 @@ def run_transformer_training(
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, sim_name=sim_name, aux_name=aux_name,
                 if_downsample=if_downsample, test_range=test_range,
-                to_device=not host_stream, aux_store_dtype=aux_store_dtype,
+                to_device=not keep_host, aux_store_dtype=aux_store_dtype,
                 store_dtype=primary_store_dtype,
                 aux_upsample_at_gather=aux_upsample_at_gather,
             )
@@ -380,7 +388,7 @@ def run_transformer_training(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
                 sim_name=sim_name, test_range=test_range,
-                to_device=not host_stream,
+                to_device=not keep_host,
             )
             train_w, test_w, ds = d.train, d.test, d
     else:
@@ -391,14 +399,14 @@ def run_transformer_training(
                 base_path, aux_path, train_subsample=tuple(train_subsample),
                 num_aux_samples=num_aux_samples, initial_step=initial_step,
                 rollout_test=rollout_test, if_downsample=if_downsample,
-                to_device=not host_stream,
+                to_device=not keep_host,
             )
             train_w, test_w = ds.primary_train, ds.primary_test
         else:
             d = load_dr_baseline(
                 base_path, train_subsample=train_subsample[0],
                 initial_step=initial_step, rollout_test=rollout_test,
-                to_device=not host_stream,
+                to_device=not keep_host,
             )
             train_w, test_w, ds = d.train, d.test, d
 
@@ -413,6 +421,51 @@ def run_transformer_training(
     )
     model = (VideoMAEOperatorAux(**kwargs, shared_head=aux_shared_head)
              if if_aux else VideoMAEOperator(**kwargs))
+
+    # Device-resident pool rotation (mirrors train/fno_train.py): re-lay
+    # the aux store in pairing order so each resident primary slice owns
+    # its contiguous aux rows, then place slice 0 on device.
+    _rotate = None
+    if resident_rotate > 1:
+        from sciml_pde_tpu.utils.transfer import device_put_chunked
+
+        R = resident_rotate
+        n_total = train_w.num_trajectories
+        if n_total % R:
+            raise ValueError(
+                f"resident_rotate={R} must divide the pool's "
+                f"{n_total} trajectories"
+            )
+        n_res = n_total // R
+        prim_host = np.asarray(train_w.data)
+        aux_host_rot = None
+        nA = num_aux_samples
+        if if_aux:
+            perm = (
+                np.asarray(aux_row_map, np.int64).reshape(-1)
+                if aux_row_map is not None
+                else np.arange(n_total * nA, dtype=np.int64)
+            )
+            aux_host_rot = np.asarray(ds.aux_train.data)[perm]
+            aux_row_map = None  # identity pattern in resident-local indices
+
+        def _rotate(k: int, old_p=None, old_a=None):
+            for buf in (old_p, old_a):
+                if buf is not None:
+                    jax.block_until_ready(buf)
+                    buf.delete()
+            p = device_put_chunked(prim_host[k * n_res:(k + 1) * n_res])
+            a = None
+            if aux_host_rot is not None:
+                a = device_put_chunked(
+                    aux_host_rot[k * n_res * nA:(k + 1) * n_res * nA]
+                )
+            return p, a
+
+        train_w.data, _aux0 = _rotate(0)
+        if if_aux:
+            ds.aux_train.data = _aux0
+        _rot_current = 0
 
     train_idx = train_w.window_index()
     test_idx = test_w.window_index()
@@ -513,6 +566,16 @@ def run_transformer_training(
     last_ckpt_t = 0.0
     ckpt_min_interval_s = 120.0
     for ep in range(start_epoch, epochs):
+        if _rotate is not None and (ep % resident_rotate) != _rot_current:
+            jax.block_until_ready(params)
+            k = ep % resident_rotate
+            train_w.data, _new_aux = _rotate(
+                k, old_p=train_w.data,
+                old_a=ds.aux_train.data if if_aux else None,
+            )
+            if if_aux:
+                ds.aux_train.data = _new_aux
+            _rot_current = k
         # stage the epoch's batches on device up front, accumulate the loss
         # with eager adds — same dispatch-pipeline rules as the FNO trainer
         loss_acc = None

@@ -85,3 +85,26 @@ def test_rotation_rejects_bad_combos(ns_folder, tmp_path):
         run_training(
             if_aux=False, train_subsample=(2, 2, 2), resident_rotate=3, **kw,
         )
+
+
+def test_transformer_rotation_matches_unrotated(ns_folder, tmp_path):
+    from sciml_pde_tpu.train.transformer_train import run_transformer_training
+
+    tfk = dict(
+        base_path=ns_folder, aux_path=ns_folder, dataset_family="ns",
+        aux_name=AUX, test_range=(250, 251), in_chans=3,
+        img_size=12, patch_size=4, tubelet_size=1,
+        encoder_embed_dim=16, encoder_depth=1, encoder_num_heads=2,
+        decoder_embed_dim=16, decoder_depth=1, decoder_num_heads=2,
+        initial_step=3, batch_size=2, epochs=2, bf16=False,
+        num_aux_samples=1, seed=7, run_dir=str(tmp_path), log_every=0,
+    )
+    res_rot = run_transformer_training(
+        if_aux=True, train_subsample=(2, 2, 2), resident_rotate=2,
+        model_name="tfrotA", **tfk,
+    )
+    res_ref = run_transformer_training(
+        if_aux=True, train_subsample=(1, 1, 1), model_name="tfrotB", **tfk,
+    )
+    assert np.isfinite(res_rot.best_val)
+    np.testing.assert_allclose(res_rot.best_val, res_ref.best_val, rtol=1e-5)
