@@ -593,8 +593,16 @@ def run_training(
     # pattern trick the shard_store path uses below), so every resident
     # primary slice owns exactly the matching contiguous aux slice and
     # the in-step pairing is ``p -> p*nA + j`` in resident-local indices.
+    # Data-order trade-off vs the reference's global shuffle: each epoch
+    # shuffles only WITHIN the resident slice, so a batch never mixes
+    # trajectories across slices; slices are visited in a fixed cyclic
+    # order.  Equivalent in expectation over a full cycle, but batch
+    # statistics within one epoch differ from a globally shuffled pool.
+    # Gated on if_training: the eval path never reads the train pool, so
+    # eval-only runs skip the multi-GB slice load (model-init templates
+    # come from the test store in that case).
     _rotate = None
-    if resident_rotate > 1:
+    if resident_rotate > 1 and if_training:
         from sciml_pde_tpu.utils.transfer import device_put_chunked
 
         R = resident_rotate
@@ -609,12 +617,19 @@ def run_training(
         aux_host_rot = None
         nA = num_aux_samples
         if if_aux:
-            perm = (
-                np.asarray(aux_row_map, np.int64).reshape(-1)
-                if aux_row_map is not None
-                else np.arange(n_total * nA, dtype=np.int64)
-            )
-            aux_host_rot = np.asarray(ds.aux_train.data)[perm]
+            # Re-lay into pairing order, but skip the full host copy when
+            # the permutation is the identity (aux pool already laid out
+            # as p*nA+j): the copy would transiently double host RSS for
+            # a store family that is host-OOM-sensitive.
+            aux_host_rot = np.asarray(ds.aux_train.data)
+            if aux_row_map is not None:
+                perm = np.asarray(aux_row_map, np.int64).reshape(-1)
+                if len(perm) != len(aux_host_rot) or not np.array_equal(
+                    perm, np.arange(len(perm))
+                ):
+                    aux_host_rot = aux_host_rot[perm]
+            elif len(aux_host_rot) != n_total * nA:
+                aux_host_rot = aux_host_rot[: n_total * nA]
             aux_row_map = None  # identity pattern in resident-local indices
 
         def _rotate(k: int, old_p=None, old_a=None):
@@ -684,8 +699,12 @@ def run_training(
     total_steps = epochs * steps_per_epoch
 
     key = jax.random.PRNGKey(seed)
-    x0, y0 = gather_windows(train_w.data, jnp.asarray(train_idx[:1]), initial_step, rollout_test)
-    g0 = _broadcast_grid(train_w.grid, 1)
+    # Eval-only runs template model init from the (small, always-resident)
+    # test store: gathering from a host-side train pool would device-put
+    # the entire multi-GB pool for one window.
+    init_w, init_idx = (train_w, train_idx) if if_training else (test_w, test_idx)
+    x0, y0 = gather_windows(init_w.data, jnp.asarray(init_idx[:1]), initial_step, rollout_test)
+    g0 = _broadcast_grid(init_w.grid, 1)
     if if_aux:
         params = model.init(key, x0, g0, x0, g0)["params"]
         tx = make_grouped_optimizer(

@@ -3,9 +3,10 @@
 The single-chip path to train pools beyond one chip's HBM: the full pool
 stays in host RAM, a 1/R trajectory slice is device-resident, slices swap
 between epochs (block-cyclic data order).  Equivalence oracle: a pool
-whose R slices are byte-identical must train EXACTLY like the unrotated
+whose R slices are byte-identical must train like the unrotated
 single-slice run — same rng stream, same steps/epoch, same schedule —
-so the loss/val history matches to float tolerance.
+verified on the scalar best validation loss at rtol 1e-5 (the full
+loss history is not asserted).
 """
 
 import h5py
