@@ -106,8 +106,10 @@ def main(argv=None):
                         "train item is cut by the queue timeout")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"],
-                   help="'none' = generate the data family and exit (other "
-                        "drivers, e.g. ns_transformer, consume the folder)")
+                   help="baseline | aux | lie (baseline + Lie-point-symmetry "
+                        "augmentation, reference fno_lie); 'none' = generate "
+                        "the data family and exit (other drivers, e.g. "
+                        "ns_transformer, consume the folder)")
     p.add_argument("--tag", default="",
                    help="suffix for model_name/summary keys (e.g. aux-volume "
                         "sweeps over --n-aux-per reusing one data folder)")
@@ -172,6 +174,10 @@ def main(argv=None):
             res = run_training(
                 base_path=str(folder), aux_path=str(folder), dataset_family="ns",
                 if_aux=(variant == "aux"), aux_name=aux_name,
+                # 'lie' = baseline FNO + in-step Lie-Trotter augmentation
+                # (reference run_forward_ns.sh fno_lie sweep variant,
+                # engine fno/transformations.py:17-179)
+                lie_augment=(variant == "lie"),
                 train_subsample=(a.n_primary, n_primary_aux,
                                  n_primary_aux * a.n_aux_per),
                 num_aux_samples=a.n_aux_per, test_range=(250, 250 + a.n_test),
