@@ -56,7 +56,16 @@ def main(argv=None):
                         "compute stays fp32 from the window gather on)")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--eval-only", action="store_true")
-    p.add_argument("--variants", nargs="+", default=["baseline", "aux"])
+    p.add_argument("--variants", nargs="+", default=["baseline", "aux"],
+                   help="baseline | aux (FNO3d) | tf_baseline | tf_aux "
+                        "(3D VideoMAE at the reference size: encoder "
+                        "1024x16x32h, decoder 768x8x8h, patch (10,10,9), "
+                        "tubelet 5 — config_transformer_aux_ns_3d.yaml:41-54)")
+    p.add_argument("--tf-encoder-dim", type=int, default=1024)
+    p.add_argument("--tf-encoder-depth", type=int, default=16)
+    p.add_argument("--tf-decoder-depth", type=int, default=8)
+    p.add_argument("--tf-remat", action="store_true",
+                   help="gradient-checkpoint the ViT blocks")
     p.add_argument("--out", default="runs/plume3d_parity")
     a = p.parse_args(argv)
 
@@ -101,8 +110,19 @@ def main(argv=None):
     results = json.loads(summary_path.read_text()) if summary_path.exists() else {}
 
     test_range = (275, 275 + a.n_test)
+    # Reference 3D ViT hyperparameters (Transformer_3D_NS/Ours/
+    # config_transformer_aux_ns_3d.yaml:41-54)
+    tf_kwargs = dict(
+        patch_size=(10, 10, 9), tubelet_size=5,
+        encoder_dim=a.tf_encoder_dim, encoder_depth=a.tf_encoder_depth,
+        encoder_heads=max(a.tf_encoder_dim // 32, 1),
+        decoder_dim=768 if a.tf_encoder_dim >= 1024 else a.tf_encoder_dim,
+        decoder_depth=a.tf_decoder_depth, decoder_heads=8,
+        drop_path_rate=0.15, use_checkpoint=a.tf_remat,
+    )
     for variant in a.variants:
-        if_aux = variant == "aux"
+        if_aux = variant.endswith("aux")
+        is_tf = variant.startswith("tf_")
         sub = ((a.n_primary, a.aux_primary, n_aux_total) if if_aux
                else (a.n_primary, a.n_primary, n_aux_total))
         t0 = time.time()
@@ -112,6 +132,11 @@ def main(argv=None):
             num_aux_samples=a.n_aux_per, test_range=test_range,
             num_channels=4, modes=a.modes, width=a.width,
             initial_step=a.initial_step,
+            model_family="transformer3d" if is_tf else "fno",
+            transformer_kwargs=tf_kwargs if is_tf else None,
+            learning_rate=1.5e-4 if is_tf else 1e-3,
+            learning_rate_share=1.5e-4 if is_tf else 1e-3,
+            learning_rate_fc2=1.5e-4 if is_tf else 1e-3,
             rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
             host_stream=a.host_stream,
             aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
@@ -141,17 +166,32 @@ def main(argv=None):
             to_device=False,
         )
         params, best_val = restore_params(out / f"plume_{variant}_ckpt")
-        mk = dict(num_channels=4, modes1=a.modes, modes2=a.modes,
-                  modes3=a.modes, width=a.width, initial_step=a.initial_step)
-        if if_aux:
-            model = FNO3dAux(**mk)
+        if is_tf:
+            from sciml_pde_tpu.models.transformer3d import (
+                Transformer3DAux,
+                Transformer3DBaseline,
+            )
 
+            spatial = tuple(ds.primary_test.data.shape[2:5])
+            core = dict(
+                img_size=spatial, in_chans=4, num_frames=a.initial_step,
+                **{k: tf_kwargs[k] for k in (
+                    "patch_size", "tubelet_size", "encoder_dim",
+                    "encoder_depth", "encoder_heads", "decoder_dim",
+                    "decoder_depth", "decoder_heads", "drop_path_rate",
+                    "use_checkpoint")},
+            )
+            model = (Transformer3DAux(core_kwargs=core) if if_aux
+                     else Transformer3DBaseline(core_kwargs=core))
+        else:
+            mk = dict(num_channels=4, modes1=a.modes, modes2=a.modes,
+                      modes3=a.modes, width=a.width, initial_step=a.initial_step)
+            model = FNO3dAux(**mk) if if_aux else FNO3d(**mk)
+        if if_aux:
             def apply_fn(pp, x, g):
                 o, _ = model.apply({"params": pp}, x, g, x, g)
                 return o
         else:
-            model = FNO3d(**mk)
-
             def apply_fn(pp, x, g):
                 return model.apply({"params": pp}, x, g)
 
