@@ -90,21 +90,27 @@ def field_panels(out_path: str | Path, pred: np.ndarray, target: np.ndarray,
 
 
 def data_efficiency_figure(out_path: str | Path, results: dict[str, list[float]],
-                           labels: list[str] | None = None):
+                           labels: list[str] | None = None,
+                           x: list[float] | None = None,
+                           xlabel: str = "simulation cost (s)"):
     """nRMSE vs simulation cost; ``results`` maps curve name -> nRMSE per
     basic_dsN preset (mean over seeds); error bars from seed spread when a
-    list of lists is given (random_seed_ns.py:30-39)."""
+    list of lists is given (random_seed_ns.py:30-39).  ``x`` overrides the
+    default NS sim-cost axis (use when presets are a non-contiguous
+    subset, where positional mapping would mislabel points); per-seed rows
+    of uneven length are handled independently."""
     fig, ax = plt.subplots(figsize=(5, 4))
-    cost = SIM_COST_SECONDS
+    cost = x if x is not None else SIM_COST_SECONDS
     for name, vals in results.items():
         vals = np.asarray(vals, dtype=object)
         if vals.ndim == 2 or isinstance(vals[0], (list, np.ndarray)):
-            arr = np.asarray([np.asarray(v, dtype=float) for v in vals])
-            ax.errorbar(cost[: len(arr)], arr.mean(1), yerr=arr.std(1), label=name, marker="o")
+            mean = np.asarray([np.mean(np.asarray(v, float)) for v in vals])
+            std = np.asarray([np.std(np.asarray(v, float)) for v in vals])
+            ax.errorbar(cost[: len(vals)], mean, yerr=std, label=name, marker="o")
         else:
             ax.plot(cost[: len(vals)], vals.astype(float), "o-", label=name)
     ax.set_xscale("log")
-    ax.set_xlabel("simulation cost (s)")
+    ax.set_xlabel(xlabel)
     ax.set_ylabel("nRMSE")
     ax.legend()
     fig.tight_layout()
