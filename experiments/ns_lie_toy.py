@@ -26,7 +26,7 @@ import h5py
 import numpy as np
 
 
-def build_toy_folder(src: Path, folder: Path, stride: int) -> None:
+def build_toy_folder(src: Path, folder: Path, stride: int, tstride: int = 1) -> None:
     folder.mkdir(parents=True, exist_ok=True)
     train_f = folder / "ns_incom_inhom_2d_256-0.h5"
     test_f = folder / "ns_incom_inhom_2d_256-250.h5"
@@ -34,10 +34,10 @@ def build_toy_folder(src: Path, folder: Path, stride: int) -> None:
         print(f"toy folder {folder} already built")
         return
     with h5py.File(src, "r") as f:
-        vel = f["velocity"][:, :, ::stride, ::stride, :]
-        part = f["particles"][:, :, ::stride, ::stride, :]
+        vel = f["velocity"][:, ::tstride, ::stride, ::stride, :]
+        part = f["particles"][:, ::tstride, ::stride, ::stride, :]
         force = f["force"][:, ::stride, ::stride, :]
-        t = f["t"][:]
+        t = f["t"][:, ::tstride]
         cfg = dict(f.attrs)
 
     def write(path: Path, sl: slice) -> None:
@@ -62,13 +62,15 @@ def main(argv=None):
     p.add_argument("--src", default="data/ns_production/ns_incom_inhom_2d_256-0.h5")
     p.add_argument("--folder", default="data/ns_lie_toy")
     p.add_argument("--stride", type=int, default=4)
+    p.add_argument("--tstride", type=int, default=1,
+                   help="temporal subsample of the source trajectory")
     p.add_argument("--epochs", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--out", default="runs/ns_lie_toy")
     p.add_argument("--variants", nargs="+", default=["baseline", "lie"])
     a = p.parse_args(argv)
 
-    build_toy_folder(Path(a.src), Path(a.folder), a.stride)
+    build_toy_folder(Path(a.src), Path(a.folder), a.stride, a.tstride)
 
     from experiments.ns_production import main as ns_main
 
