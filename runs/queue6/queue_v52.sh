@@ -1,0 +1,181 @@
+#!/bin/bash
+# v52 — round-4 carry queue.  Launched parked on the queue lock: it runs
+# only after v51 drains (or after a dead v51's lock is released).  Every
+# item is guarded by its summary key, so re-launching after an fs recycle
+# (with reseed_summaries restoring landed keys) is safe and cheap.
+#
+# Order (VERDICT round-2 priorities not covered by v51):
+#   1. NS fno_lie production pair (lie_ds32 vs v51's baseline_ds32)
+#   2. plume3d 3D transformer pair (tf_baseline/tf_aux, reduced epochs)
+#   3. DR seed sweep: ds8 + ds32 x seeds {99,17} (seed 16 = landed keys)
+#      -> dr_seed_figure aggregation
+#   4. DR transformer early-boost pair (the published aux r1-r2 edge)
+#   5. re-guards for v51 stragglers (tf ext, ds256)
+cd /root/repo
+export PYTHONPATH=/root/repo:/root/.axon_site
+Q=runs/queue6
+mkdir -p $Q
+
+bench_guard() {
+  exec 9>&- 2>/dev/null
+  while true; do
+    local h m t
+    h=$(date -u +%H); m=$(date -u +%M); t=$((10#$h * 60 + 10#$m))
+    local stop=0 end=0
+    if [ $t -ge 425 ] && [ $t -lt 530 ]; then stop=1; end=530; fi
+    if [ $t -ge 1135 ] && [ $t -lt 1245 ]; then stop=1; end=1245; fi
+    if [ $stop -eq 1 ]; then
+      local p kids
+      p=$(cat /tmp/queue_item.pid 2>/dev/null)
+      if [ -n "$p" ] && kill -0 "$p" 2>/dev/null; then
+        kids=$(ps -o pid= --ppid "$p" | tr -d ' ')
+        echo "[q6] v52 bench_guard STOP $p $kids $(date)" >> $Q/queue.log
+        kill -STOP $p $kids 2>/dev/null
+        sleep $(( (end - t) * 60 + 30 ))
+        kill -CONT $kids $p 2>/dev/null
+        echo "[q6] v52 bench_guard CONT $p $kids $(date)" >> $Q/queue.log
+      fi
+    fi
+    sleep 60
+  done
+}
+bench_guard &
+
+echo "[q6] v52 start pid=$$, waiting on queue lock $(date)" >> $Q/queue.log
+exec 9>/tmp/sciml_queue.lock
+flock 9
+echo "[q6] v52 acquired lock $(date)" >> $Q/queue.log
+
+python experiments/reseed_summaries.py >> $Q/queue.log 2>&1
+
+run_watched() {
+  local name=$1 tmo=$2 stall=$3 watch=$4; shift 4
+  timeout "$tmo" "$@" > "$Q/$name.log" 2>&1 &
+  local pid=$!
+  echo $pid > /tmp/queue_item.pid
+  local last
+  last=$(date +%s)
+  while kill -0 $pid 2>/dev/null; do
+    sleep 60
+    local now m state
+    now=$(date +%s)
+    state=$(ps -o stat= -p $pid 2>/dev/null)
+    m=$(find "$watch" "$Q/$name.log" -type f -printf '%T@\n' 2>/dev/null \
+        | sort -n | tail -1 | cut -d. -f1)
+    if [ -n "$m" ] && [ "$m" -gt "$last" ]; then last=$m; fi
+    case "$state" in *T*) last=$now ;; esac
+    if [ $(( now - last )) -gt "$stall" ]; then
+      echo "[q6] $name STALLED $(( now - last ))s, killing $(date)" >> $Q/queue.log
+      local kids
+      kids=$(ps -o pid= --ppid "$pid" | tr -d ' ')
+      kill $pid $kids 2>/dev/null; sleep 5; kill -9 $pid $kids 2>/dev/null
+      break
+    fi
+  done
+  wait $pid 2>/dev/null
+  local rc=$?
+  rm -f /tmp/queue_item.pid
+  echo "[q6] $name rc=$rc $(date)" >> $Q/queue.log
+  return $rc
+}
+
+probe() {
+  until timeout 180 python -c "
+import jax, jax.numpy as jnp, numpy as np
+assert jax.devices()[0].platform != 'cpu'
+x = jax.jit(lambda x: x * 2)(jnp.ones(8))
+assert float(np.asarray(x)[0]) == 2.0
+" >/dev/null 2>&1; do
+    echo "[q6] tpu probe failed, parking $(date)" >> $Q/queue.log
+    sleep 120
+  done
+}
+
+summary_has() {
+  python - "$1" "$2" <<'EOF'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+except Exception:
+    sys.exit(1)
+sys.exit(0 if sys.argv[2] in d else 1)
+EOF
+}
+
+# ---- 1. NS fno_lie production (pairs with baseline_ds32) --------------
+DS32="--skip-gen --n-primary 8 --n-primary-aux 4 --n-aux-per 3 \
+  --aux-grid 128 --aux-compute native \
+  --primary-store-dtype bf16 --remat --tag ds32"
+for i in 1 2 3; do
+  summary_has runs/ns_production/summary.json lie_ds32 && break
+  probe
+  run_watched ns_lie_ds32 16200 2700 runs/ns_production \
+    python experiments/ns_production.py $DS32 --variants lie --continue-training
+done
+
+# ---- 2. plume3d 3D transformer pair (regen data if the fs recycled) ---
+for v in tf_baseline tf_aux; do
+  for i in 1 2 3; do
+    summary_has runs/plume3d_parity/summary.json $v && break
+    probe
+    run_watched plume3d_$v 21600 2700 runs/plume3d_parity \
+      python experiments/plume3d_parity.py --variants $v --epochs 20 \
+      --batch-size 1 --tf-remat --primary-store-dtype bf16 \
+      --continue-training
+  done
+done
+
+# ---- 3. DR seed sweep (ds8 + ds32, seeds 99/17; 16 = landed keys) -----
+for i in 1 2 3; do
+  probe
+  run_watched dr_gen_all_v52 7200 2400 data \
+    python -m sciml_pde_tpu.sim.gen_diff_react \
+    --out data/2D_diff-react_test_all.h5 --nsample 100 && break
+done
+for i in 1 2 3; do
+  probe
+  run_watched dr_gen_diff_v52 10800 2400 data \
+    python -m sciml_pde_tpu.sim.gen_diff_react \
+    --out data/2D_diff-react_test_diff.h5 --nsample 450 --sim-type diff && break
+done
+for n in 8 32; do
+  for s in 99 17; do
+    for i in 1 2; do
+      summary_has runs/dr_parity_ds$n/summary.json baseline_s$s && break
+      probe
+      run_watched dr_ds${n}_s$s 12000 2700 runs/dr_parity_ds$n \
+        python experiments/dr_parity.py --dataset basic_ds$n --epochs 100 \
+        --seed $s --out runs/dr_parity_ds$n --continue-training
+    done
+  done
+done
+python experiments/dr_seed_figure.py >> $Q/queue.log 2>&1 || true
+
+# ---- 4. DR transformer early-boost pair -------------------------------
+for v in baseline aux; do
+  for i in 1 2; do
+    summary_has runs/dr_transformer/summary.json ${v}_boost && break
+    probe
+    run_watched dr_tf_boost_$v 21600 2700 runs/dr_transformer \
+      python experiments/dr_transformer.py --variants $v --early-boost 3 \
+      --epochs 60 --remat --tag boost --continue-training
+  done
+done
+
+# ---- 5. v51 straggler re-guards ---------------------------------------
+if ! summary_has runs/ns_transformer/summary.json ns_aux_ext; then
+  probe
+  run_watched ns_tf_aux_ext_v52 28800 2700 runs/ns_transformer \
+    python experiments/ns_transformer.py --variants aux --epochs 30 \
+    --num-aux-samples 3 --aux-grid 128 --primary-store-dtype bf16 --remat \
+    --continue-training --tag ext
+fi
+for i in 1 2; do
+  summary_has runs/dr_parity_ds256/summary.json aux && break
+  probe
+  run_watched dr_ds256_v52 28800 2700 runs/dr_parity_ds256 \
+    python experiments/dr_parity.py --dataset basic_ds256 --epochs 100 \
+    --out runs/dr_parity_ds256 --continue-training
+done
+
+echo "[q6] v52 ALL DONE $(date)" >> $Q/queue.log
