@@ -73,12 +73,22 @@ def main(argv=None):
     p.add_argument("--Dv", type=float, default=1e-1)
     p.add_argument("--k", type=float, default=5e-3)
     p.add_argument("--device-batch", type=int, default=8)
+    p.add_argument("--plot", action="store_true",
+                   help="write a field-strip preview png next to the file "
+                        "(reference data_gen/src/plots.py)")
+    p.add_argument("--gif", action="store_true",
+                   help="with --plot: also write an animation gif")
     a = p.parse_args(argv)
     cfg = DiffReactConfig(
         Du=a.Du, Dv=a.Dv, k=a.k, t=a.t, tdim=a.tdim,
         xdim=a.xdim, ydim=a.ydim, sim_type=a.sim_type,
     )
     generate_dataset(a.out, a.nsample, cfg, a.seed_start, a.device_batch)
+    if a.plot:
+        from sciml_pde_tpu.sim.preview import preview_dataset
+
+        for w in preview_dataset(a.out, gif=a.gif):
+            print(w)
 
 
 if __name__ == "__main__":

@@ -115,6 +115,11 @@ def main(argv=None):
     p.add_argument("--n-steps", type=int, default=100_000)
     p.add_argument("--frame-int", type=int, default=100)
     p.add_argument("--n-batch", type=int, default=4)
+    p.add_argument("--plot", action="store_true",
+                   help="write a field-strip preview png next to each file "
+                        "(reference data_gen/src/plots.py)")
+    p.add_argument("--gif", action="store_true",
+                   help="with --plot: also write an animation gif")
     a = p.parse_args(argv)
 
     cfg = NSIncompConfig(
@@ -129,6 +134,11 @@ def main(argv=None):
         out = out_dir / f"{a.sim_name}-{seed}.h5"
         generate_ns_file(out, seed, cfg)
         print(f"{out}: {time.time()-t0:.1f}s", flush=True)
+        if a.plot:
+            from sciml_pde_tpu.sim.preview import preview_dataset
+
+            for w in preview_dataset(out, gif=a.gif):
+                print(w)
 
 
 if __name__ == "__main__":
