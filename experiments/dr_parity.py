@@ -36,6 +36,13 @@ def main(argv=None):
                    help="training seed; the reference sweeps {16, 99, 17} "
                         "(run_forward_rd.sh) and its published table may be "
                         "a seed aggregate — vary this to measure the spread")
+    p.add_argument("--leaky-clip", action="store_true",
+                   help="AUDIT ONLY: replicate the reference baseline "
+                        "loader's sorted(keys)[:N] train list, which on a "
+                        "100-seed file at ds128 includes the 10 test seeds "
+                        "(fno/utils_2d_rd_baseline.py:46-47); quantifies "
+                        "what that leak is worth on the published numbers. "
+                        "Summary keys get a _leak suffix.")
     a = p.parse_args(argv)
 
     out = Path(a.out)
@@ -45,16 +52,18 @@ def main(argv=None):
     for variant in a.variants:
         cfg = load_config("config_dr", a.dataset)
         suffix = f"_s{a.seed}" if a.seed is not None else ""
+        if a.leaky_clip:
+            suffix += "_leak"
         cfg.update(
             base_path=a.data, aux_path=a.data, epochs=a.epochs,
             run_dir=str(out), model_name=f"dr_{a.dataset}_{variant}{suffix}",
             log_every=500, continue_training=a.continue_training,
-            host_stream=a.host_stream,
+            host_stream=a.host_stream, dr_leaky_clip=a.leaky_clip,
         )
         if a.seed is not None:
             cfg["seed"] = a.seed
         primary_n = cfg["train_subsample"][0 if variant == "baseline" else 1]
-        if primary_n > 90:
+        if primary_n > 90 and not a.leaky_clip:
             # the primary file holds 90 train seeds; ds128+ extends the
             # train pool with the seeds-100..299 extension file
             cfg["extra_train_files"] = ["2D_diff-react_ext_all_100_299.h5"]

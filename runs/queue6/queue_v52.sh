@@ -151,6 +151,21 @@ for n in 8 32; do
 done
 python experiments/dr_seed_figure.py >> $Q/queue.log 2>&1 || true
 
+# ---- 3b. DR ds128 LEAK-CHECK (decisive parity-gap attribution) --------
+# Replicates the reference baseline loader's sorted(keys)[:128] train
+# list on the 100-seed file (test seeds 90-99 leak into train) — if r1
+# drops from our clean 0.0359 toward the published 0.0289, the residual
+# is the reference's protocol bug, not our model.  Audit context in
+# experiments/dr_test_family_audit.py (family variance already excluded).
+for i in 1 2; do
+  summary_has runs/dr_parity_ds128/summary.json baseline_leak && break
+  probe
+  run_watched dr_ds128_leak 12000 2700 runs/dr_parity_ds128 \
+    python experiments/dr_parity.py --dataset basic_ds128 --epochs 100 \
+    --variants baseline --leaky-clip --out runs/dr_parity_ds128 \
+    --continue-training
+done
+
 # ---- 4. DR transformer early-boost pair -------------------------------
 for v in baseline aux; do
   for i in 1 2; do

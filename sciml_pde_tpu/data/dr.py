@@ -84,11 +84,25 @@ def _take(train_keys: list[str], subsample) -> list[str]:
 
 
 def _load_train_pool(
-    base: Path, primary_file: str, want, extra_train_files
+    base: Path, primary_file: str, want, extra_train_files,
+    leaky_clip: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Train pool (optionally merged across extension files) + test + grid."""
+    """Train pool (optionally merged across extension files) + test + grid.
+
+    ``leaky_clip=True`` replicates the reference's raw
+    ``sorted(keys)[:train_subsample]`` train list
+    (``fno/utils_2d_rd_baseline.py:46-47``) WITHOUT excluding the test
+    tail: on a 100-seed file with train_subsample >= 100 the 10 test
+    seeds end up in the train pool (train/test leakage).  Exists only to
+    quantify what that protocol bug is worth on the published ds128
+    numbers — never use it for real results."""
     ppath = base / primary_file
-    train_keys, test_keys = _split_keys(_sorted_keys(ppath))
+    all_keys = _sorted_keys(ppath)
+    train_keys, test_keys = _split_keys(all_keys)
+    if leaky_clip:
+        # the reference also clips silently when N exceeds the file
+        train_keys = all_keys
+        want = min(int(want), len(all_keys))
     grid = _read_grid(ppath, train_keys[0] if train_keys else test_keys[0])
 
     if isinstance(want, float) and want < 1:
@@ -124,16 +138,19 @@ def load_dr_baseline(
     extra_train_files: list[str] | None = None,
     primary_file: str = PRIMARY_FILE,
     to_device: bool = True,
+    leaky_clip: bool = False,
 ) -> DRBaselineDataset:
     """Baseline (single-stream) DR dataset.
 
     Mirrors reference ``fno/utils_2d_rd_baseline.py``: train = first
     ``train_subsample`` of the 90% split, test = the 10% tail, one window
-    at t0=0 per test trajectory.
+    at t0=0 per test trajectory.  ``leaky_clip`` replicates the
+    reference's unguarded ``[:N]`` clip (see ``_load_train_pool``).
     """
     base = Path(base_path)
     train, test, grid = _load_train_pool(
-        base, primary_file, train_subsample, extra_train_files
+        base, primary_file, train_subsample, extra_train_files,
+        leaky_clip=leaky_clip,
     )
     return DRBaselineDataset(
         train=WindowedTrajectories(

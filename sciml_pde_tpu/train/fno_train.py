@@ -430,6 +430,8 @@ def run_training(
     shard_store: bool = False,
     host_stream: bool = False,
     resident_rotate: int = 0,
+    dr_leaky_clip: bool = False,  # replicate the reference's [:N] train-list
+    # clip incl. the test tail (audit-only; data/dr.py:_load_train_pool)
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
@@ -538,6 +540,7 @@ def run_training(
                 initial_step=initial_step, rollout_test=rollout_test,
                 extra_train_files=extra_train_files,
                 to_device=not keep_host,
+                leaky_clip=dr_leaky_clip,
             )
             train_w, test_w = ds.train, ds.test
 

@@ -57,3 +57,26 @@ def test_downsample_tool_roundtrip(tmp_path):
     ds = load_dr_aux(str(tmp_path), train_subsample=(4, 2, 6),
                      num_aux_samples=3, initial_step=2, if_downsample=True)
     assert ds.aux_train.data.shape[1:] == ds.primary_train.data.shape[1:]
+
+
+def test_leaky_clip_replicates_reference_clip(tmp_path):
+    """leaky_clip=True reproduces the reference's sorted(keys)[:N] train
+    list (fno/utils_2d_rd_baseline.py:46-47): the test tail joins the
+    train pool and an oversized N clips silently to the file size."""
+    generate_dataset(tmp_path / "2D_diff-react_test_all.h5", 10,
+                     DiffReactConfig(sim_type="react", **CFG), verbose=False)
+
+    leaky = load_dr_baseline(
+        str(tmp_path), train_subsample=128, initial_step=2, leaky_clip=True,
+    )
+    # all 10 seeds (incl. the test seed) in train; test unchanged
+    assert leaky.train.num_trajectories == 10
+    assert leaky.test.num_trajectories == 1
+    np.testing.assert_array_equal(
+        np.asarray(leaky.train.data[9]), np.asarray(leaky.test.data[0])
+    )
+
+    clean = load_dr_baseline(str(tmp_path), train_subsample=9, initial_step=2)
+    np.testing.assert_array_equal(
+        np.asarray(clean.train.data), np.asarray(leaky.train.data[:9])
+    )
