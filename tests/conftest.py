@@ -21,5 +21,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite's wall time on this 1-core host
+# is dominated by XLA compiles (dozens of distinct jitted programs); with
+# a warm cache a full-suite run drops by the whole compile share.  The
+# dir is repo-local (gitignored) so `pytest tests/` benefits across
+# invocations within a filesystem lifetime.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8

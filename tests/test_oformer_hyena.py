@@ -163,10 +163,10 @@ class TestPointsetBVP:
         )
         from sciml_pde_tpu.models.oformer import OFormerIrreg2D
 
-        train = synthetic_electrostatics(0, 48, max_points=32, min_points=24)
+        train = synthetic_electrostatics(0, 24, max_points=32, min_points=24)
         test = synthetic_electrostatics(1, 8, max_points=32, min_points=24)
         res = run_pointset_training(
-            train, latent_channels=24, depth=2, batch_size=8, epochs=8,
+            train, latent_channels=24, depth=2, batch_size=8, epochs=6,
             run_dir=str(tmp_path), log_every=1000,
         )
         assert res.history[-1]["loss"] < res.history[0]["loss"] * 0.8
@@ -180,10 +180,10 @@ class TestPointsetBVP:
             run_airfoil_training, synthetic_vortex_sheet,
         )
 
-        data = synthetic_vortex_sheet(0, 6, n_points=48, n_frames=10)
+        data = synthetic_vortex_sheet(0, 4, n_points=32, n_frames=8)
         res = run_airfoil_training(
             data, time_window=4, forward_steps=2, emb_dim=32,
-            latent_channels=32, depth=2, batch_size=4, epochs=6,
+            latent_channels=32, depth=2, batch_size=4, epochs=5,
             run_dir=str(tmp_path), log_every=1000,
         )
         assert res.history[-1]["l1"] < res.history[0]["l1"] * 0.9

@@ -21,15 +21,17 @@ pytestmark = pytest.mark.slow
 def dr_folder(tmp_path_factory):
     folder = tmp_path_factory.mktemp("dr_shard")
     cfg = dict(xdim=12, ydim=12, t=1.0, tdim=11)
+    # device_batch >= nsample: one sim compile per file instead of one per
+    # chunk size (this fixture was the suite's single slowest setup)
     # 9 seeds -> 90/10 split keeps 8 train (divisible by 4 shards)
     generate_dataset(
         folder / "2D_diff-react_test_all.h5", 9,
-        DiffReactConfig(sim_type="all", **cfg), verbose=False,
+        DiffReactConfig(sim_type="all", **cfg), verbose=False, device_batch=28,
     )
     # 28 seeds -> 25 in the aux train pool (need 8 primaries x 3 aux = 24)
     generate_dataset(
         folder / "2D_diff-react_test_diff.h5", 28,
-        DiffReactConfig(sim_type="diff", **cfg), verbose=False,
+        DiffReactConfig(sim_type="diff", **cfg), verbose=False, device_batch=28,
     )
     return str(folder) + "/"
 
