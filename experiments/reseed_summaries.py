@@ -44,6 +44,11 @@ MAP = [
     ("ns_transformer_summary_auto.json", "ns_transformer"),
     ("dr_parity_ds128_summary_auto.json", "dr_parity_ds128"),
     ("dr_parity_ds256_summary_auto.json", "dr_parity_ds256"),
+    ("dr_parity_ds8_summary_auto.json", "dr_parity_ds8"),
+    ("dr_parity_ds32_summary_auto.json", "dr_parity_ds32"),
+    ("dr_transformer_summary_auto.json", "dr_transformer"),
+    ("plume3d_parity_summary_auto.json", "plume3d_parity"),
+    ("ns_lie_toy_summary_auto.json", "ns_lie_toy"),
 ]
 
 

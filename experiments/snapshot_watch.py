@@ -24,7 +24,12 @@ from pathlib import Path
 
 from experiments.reseed_summaries import MAP, RUNS, SNAP
 
-WATCH = ["ns_production", "ns_transformer", "dr_parity_ds128", "dr_parity_ds256"]
+WATCH = [
+    "ns_production", "ns_transformer", "dr_parity_ds128", "dr_parity_ds256",
+    # round-3 additions: v52 queue targets + the lie toy study
+    "dr_parity_ds8", "dr_parity_ds32", "dr_transformer", "plume3d_parity",
+    "ns_lie_toy",
+]
 
 
 def known_keys(run_dir: str) -> set[str]:
