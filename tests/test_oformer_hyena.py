@@ -163,7 +163,7 @@ class TestPointsetBVP:
         )
         from sciml_pde_tpu.models.oformer import OFormerIrreg2D
 
-        train = synthetic_electrostatics(0, 24, max_points=32, min_points=24)
+        train = synthetic_electrostatics(0, 48, max_points=32, min_points=24)
         test = synthetic_electrostatics(1, 8, max_points=32, min_points=24)
         res = run_pointset_training(
             train, latent_channels=24, depth=2, batch_size=8, epochs=6,
