@@ -381,6 +381,51 @@ def main():
     else:
         _log("skipping scan-chunk phase (budget)")
 
+    # ---- phase 5b: batch-64 scan MFU (hardware-utilization headroom) ----
+    # The flagship shape is the reference's batch 4 — tiny for the MXU.
+    # This phase shows what the same step does at batch 64 (weak-scaling
+    # shape from DESIGN.md's cost model).  Informational: it never sets
+    # the headline (that stays at the reference batch).
+    B64 = 64
+    if _remaining(deadline_s) > 210:
+        idx64 = jnp.asarray(
+            np.stack(
+                [
+                    rng.integers(0, n_traj, (K, B64)),
+                    rng.integers(0, n_frames - INITIAL_STEP - 1, (K, B64)),
+                ],
+                axis=2,
+            ).astype(np.int32)
+        )
+        try:
+            t0 = time.perf_counter()
+            p64, o64, losses64, _ = step_fn.scan(
+                params, opt_state, data, grid_r, idx64, key
+            )
+            jax.block_until_ready(p64)
+            _log(f"batch64 scan compile+first: {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            p64, o64, losses64, _ = step_fn.scan(p64, o64, data, grid_r, idx64, key)
+            jax.block_until_ready(p64)
+            rate64 = K / (time.perf_counter() - t0)
+            flops = emitter.details.get("hlo_flops_per_step")
+            upd = {"batch64_scan_steps_per_sec": rate64}
+            if flops:
+                # per-step flops scale ~linearly in batch (gather+fwd+bwd
+                # dominate; optimizer is batch-independent) — conservative
+                upd["mfu_batch64_vs_v5e_bf16_peak"] = (
+                    flops * (B64 / BATCH) * rate64 / V5E_BF16_PEAK_FLOPS
+                )
+            emitter.update(**upd)
+            _log(f"batch64 scan {rate64:.1f} steps/s, mfu64 {upd.get('mfu_batch64_vs_v5e_bf16_peak')}")
+            # params/opt_state were donated to the batch64 steps; keep
+            # using the returned ones for the rollout phase
+            params, opt_state = p64, o64
+        except Exception as e:
+            _log(f"batch64 phase failed (non-fatal): {e}")
+    else:
+        _log("skipping batch64 phase (budget)")
+
     # ---- phase 6: 100-step rollout wall-clock ---------------------------
     if _remaining(deadline_s) > 90:
         xb = jnp.asarray(
