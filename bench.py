@@ -86,16 +86,25 @@ class Emitter:
         self.h100_bound = h100_bound
         self.persist = persist
         self.details: dict = {}
-        self.steps_per_sec: float | None = None
+        # candidates keyed by loop shape: a later, better measurement of the
+        # SAME shape (e.g. the 5-window median superseding the first window)
+        # replaces its key instead of being max'd against it — the headline
+        # is the max across shapes, never a lucky single window.
+        self.candidates: dict[str, float] = {}
         self._lock = threading.Lock()
         self._emitted_any = False
 
-    def update(self, steps_per_sec: float | None = None, **details) -> None:
+    @property
+    def steps_per_sec(self) -> float | None:
+        return max(self.candidates.values()) if self.candidates else None
+
+    def update(
+        self, steps_per_sec: float | None = None, candidate: str = "dispatch",
+        **details,
+    ) -> None:
         with self._lock:
-            if steps_per_sec is not None and (
-                self.steps_per_sec is None or steps_per_sec > self.steps_per_sec
-            ):
-                self.steps_per_sec = steps_per_sec
+            if steps_per_sec is not None:
+                self.candidates[candidate] = steps_per_sec
             self.details.update(details)
             self._emit_locked()
 
@@ -136,19 +145,25 @@ class Emitter:
             _log(f"last-good persist failed: {e}")
 
     def emit_fallback_if_empty(self, reason: str) -> None:
-        """Nothing measured this run: replay the tracked last-good record."""
+        """Nothing measured this run: replay the tracked last-good record.
+
+        Must never raise — it runs on the watchdog thread, and an exception
+        here would kill the thread before its os._exit, reproducing the
+        round-2 evidence loss this file exists to prevent.
+        """
         with self._lock:
             if self._emitted_any:
                 return
             try:
                 rec = json.loads(_LAST_GOOD.read_text())
-            except (OSError, ValueError):
-                _log(f"no result and no last-good file ({reason}); emitting nothing")
+                headline = rec["headline"]
+                details = dict(rec.get("details", {}))
+            except Exception:
+                _log(f"no result and no usable last-good file ({reason}); emitting nothing")
                 return
-            details = dict(rec.get("details", {}))
             details.update({"fallback": True, "fallback_reason": reason})
             print(json.dumps(details), file=sys.stderr, flush=True)
-            print(json.dumps(rec["headline"]), flush=True)
+            print(json.dumps(headline), flush=True)
             self._emitted_any = True
 
 
@@ -167,7 +182,9 @@ def _start_watchdog(emitter: Emitter, deadline_s: float) -> threading.Event:
         emitter.emit_fallback_if_empty("deadline before first measurement")
         sys.stdout.flush()
         sys.stderr.flush()
-        os._exit(0)
+        # rc 0 only when SOME result (measured or fallback) was emitted; a
+        # totally empty run must fail loudly, not masquerade as success
+        os._exit(0 if emitter._emitted_any else 3)
 
     t = threading.Thread(target=_watch, daemon=True, name="bench-watchdog")
     t.start()
@@ -373,6 +390,7 @@ def main():
             )
             emitter.update(
                 scan_steps_per_sec,
+                candidate="scan",
                 scan_chunk=K,
                 scan_steps_per_sec=scan_steps_per_sec,
                 scan_steps_per_sec_windows=[round(r, 1) for r in scan_rates],
@@ -380,51 +398,6 @@ def main():
             )
     else:
         _log("skipping scan-chunk phase (budget)")
-
-    # ---- phase 5b: batch-64 scan MFU (hardware-utilization headroom) ----
-    # The flagship shape is the reference's batch 4 — tiny for the MXU.
-    # This phase shows what the same step does at batch 64 (weak-scaling
-    # shape from DESIGN.md's cost model).  Informational: it never sets
-    # the headline (that stays at the reference batch).
-    B64 = 64
-    if _remaining(deadline_s) > 210:
-        idx64 = jnp.asarray(
-            np.stack(
-                [
-                    rng.integers(0, n_traj, (K, B64)),
-                    rng.integers(0, n_frames - INITIAL_STEP - 1, (K, B64)),
-                ],
-                axis=2,
-            ).astype(np.int32)
-        )
-        try:
-            t0 = time.perf_counter()
-            p64, o64, losses64, _ = step_fn.scan(
-                params, opt_state, data, grid_r, idx64, key
-            )
-            jax.block_until_ready(p64)
-            _log(f"batch64 scan compile+first: {time.perf_counter()-t0:.1f}s")
-            t0 = time.perf_counter()
-            p64, o64, losses64, _ = step_fn.scan(p64, o64, data, grid_r, idx64, key)
-            jax.block_until_ready(p64)
-            rate64 = K / (time.perf_counter() - t0)
-            flops = emitter.details.get("hlo_flops_per_step")
-            upd = {"batch64_scan_steps_per_sec": rate64}
-            if flops:
-                # per-step flops scale ~linearly in batch (gather+fwd+bwd
-                # dominate; optimizer is batch-independent) — conservative
-                upd["mfu_batch64_vs_v5e_bf16_peak"] = (
-                    flops * (B64 / BATCH) * rate64 / V5E_BF16_PEAK_FLOPS
-                )
-            emitter.update(**upd)
-            _log(f"batch64 scan {rate64:.1f} steps/s, mfu64 {upd.get('mfu_batch64_vs_v5e_bf16_peak')}")
-            # params/opt_state were donated to the batch64 steps; keep
-            # using the returned ones for the rollout phase
-            params, opt_state = p64, o64
-        except Exception as e:
-            _log(f"batch64 phase failed (non-fatal): {e}")
-    else:
-        _log("skipping batch64 phase (budget)")
 
     # ---- phase 6: 100-step rollout wall-clock ---------------------------
     if _remaining(deadline_s) > 90:
@@ -449,6 +422,50 @@ def main():
         )
     else:
         _log("skipping rollout phase (budget)")
+
+    # ---- phase 7 (LAST): batch-64 scan MFU (utilization headroom) -------
+    # The flagship shape is the reference's batch 4 — tiny for the MXU.
+    # This phase shows what the same step does at batch 64 (weak-scaling
+    # shape from DESIGN.md's cost model).  Informational: it never sets
+    # the headline, and it runs LAST because step_fn.scan donates
+    # params/opt_state — if it dies mid-execution (e.g. OOM at 16x the
+    # batch) the donated buffers are gone, so nothing may run after it.
+    B64 = 64
+    if _remaining(deadline_s) > 150:
+        idx64 = jnp.asarray(
+            np.stack(
+                [
+                    rng.integers(0, n_traj, (K, B64)),
+                    rng.integers(0, n_frames - INITIAL_STEP - 1, (K, B64)),
+                ],
+                axis=2,
+            ).astype(np.int32)
+        )
+        try:
+            t0 = time.perf_counter()
+            p64, o64, _, _ = step_fn.scan(
+                params, opt_state, data, grid_r, idx64, key
+            )
+            jax.block_until_ready(p64)
+            _log(f"batch64 scan compile+first: {time.perf_counter()-t0:.1f}s")
+            t0 = time.perf_counter()
+            p64, o64, _, _ = step_fn.scan(p64, o64, data, grid_r, idx64, key)
+            jax.block_until_ready(p64)
+            rate64 = K / (time.perf_counter() - t0)
+            flops = emitter.details.get("hlo_flops_per_step")
+            upd = {"batch64_scan_steps_per_sec": rate64}
+            if flops:
+                # per-step flops scale ~linearly in batch (gather+fwd+bwd
+                # dominate; optimizer is batch-independent) — conservative
+                upd["mfu_batch64_vs_v5e_bf16_peak"] = (
+                    flops * (B64 / BATCH) * rate64 / V5E_BF16_PEAK_FLOPS
+                )
+            emitter.update(**upd)
+            _log(f"batch64 scan {rate64:.1f} steps/s, mfu64 {upd.get('mfu_batch64_vs_v5e_bf16_peak')}")
+        except Exception as e:
+            _log(f"batch64 phase failed (non-fatal, nothing follows): {e}")
+    else:
+        _log("skipping batch64 phase (budget)")
 
     done.set()
     _log("all phases complete")

@@ -44,6 +44,12 @@ def main(argv=None):
                         "what that leak is worth on the published numbers. "
                         "Summary keys get a _leak suffix.")
     a = p.parse_args(argv)
+    if a.leaky_clip and a.variants != ["baseline"]:
+        # the leak replication exists only for the baseline loader (the
+        # reference aux loader's primary stream [:64] does not leak at
+        # ds128); an aux run would train on the CLEAN split yet land
+        # under an aux_leak key — refuse rather than mislabel
+        p.error("--leaky-clip requires --variants baseline")
 
     out = Path(a.out)
     out.mkdir(parents=True, exist_ok=True)

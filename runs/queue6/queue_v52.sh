@@ -141,12 +141,27 @@ done
 for n in 8 32; do
   for s in 99 17; do
     for i in 1 2; do
-      summary_has runs/dr_parity_ds$n/summary.json baseline_s$s && break
+      # dr_parity lands baseline THEN aux incrementally — guard on BOTH
+      # keys or a timeout between the two permanently loses the aux point
+      summary_has runs/dr_parity_ds$n/summary.json baseline_s$s \
+        && summary_has runs/dr_parity_ds$n/summary.json aux_s$s && break
       probe
       run_watched dr_ds${n}_s$s 12000 2700 runs/dr_parity_ds$n \
         python experiments/dr_parity.py --dataset basic_ds$n --epochs 100 \
         --seed $s --out runs/dr_parity_ds$n --continue-training
     done
+  done
+done
+# ds128 seed-pair backfill: v53's inherited guard checks only
+# baseline_s$s, so a timeout between variants can lose aux_s$s there
+for s in 99 17; do
+  for i in 1 2; do
+    summary_has runs/dr_parity_ds128/summary.json baseline_s$s \
+      && summary_has runs/dr_parity_ds128/summary.json aux_s$s && break
+    probe
+    run_watched dr_ds128_s${s}_backfill 12000 2700 runs/dr_parity_ds128 \
+      python experiments/dr_parity.py --dataset basic_ds128 --epochs 100 \
+      --seed $s --out runs/dr_parity_ds128 --continue-training
   done
 done
 python experiments/dr_seed_figure.py >> $Q/queue.log 2>&1 || true

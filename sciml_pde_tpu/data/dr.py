@@ -100,14 +100,17 @@ def _load_train_pool(
     all_keys = _sorted_keys(ppath)
     train_keys, test_keys = _split_keys(all_keys)
     if leaky_clip:
-        # the reference also clips silently when N exceeds the file
         train_keys = all_keys
-        want = min(int(want), len(all_keys))
     grid = _read_grid(ppath, train_keys[0] if train_keys else test_keys[0])
 
+    # resolve fractional subsample BEFORE any clipping so e.g. 0.5 means
+    # half the train split in both modes
     if isinstance(want, float) and want < 1:
         want = max(int(want * len(train_keys)), 1)
     want = int(want)
+    if leaky_clip:
+        # the reference also clips silently when N exceeds the file
+        want = min(want, len(all_keys))
 
     chunks = [_read_keys(ppath, train_keys[: min(want, len(train_keys))])]
     got = chunks[0].shape[0]

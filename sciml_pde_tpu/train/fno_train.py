@@ -632,6 +632,14 @@ def run_training(
                 ):
                     aux_host_rot = aux_host_rot[perm]
             elif len(aux_host_rot) != n_total * nA:
+                if len(aux_host_rot) < n_total * nA:
+                    # slicing would silently no-op and later gathers would
+                    # clamp to repeated last rows — fail like the fancy
+                    # index on an undersized pool always did
+                    raise ValueError(
+                        f"aux pool has {len(aux_host_rot)} rows; rotation "
+                        f"needs n_total*num_aux_samples = {n_total * nA}"
+                    )
                 aux_host_rot = aux_host_rot[: n_total * nA]
             aux_row_map = None  # identity pattern in resident-local indices
 

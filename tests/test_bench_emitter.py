@@ -21,15 +21,19 @@ def _headlines(capsys):
 
 def test_update_emits_and_persists_best(tracked, capsys):
     em = bench.Emitter(h100_bound=1000.0)
-    em.update(100.0, phase="a")
-    em.update(50.0, phase="b")   # worse rate: headline value must not drop
-    em.update(200.0, phase="c")
+    em.update(100.0, phase="a")               # first dispatch window
+    # a better-founded measurement of the SAME loop shape REPLACES it
+    # (5-window median superseding one lucky window), it is not max'd
+    em.update(50.0, phase="b")
+    # a different loop shape is a separate candidate; headline = max
+    em.update(200.0, candidate="scan", phase="c")
+    em.update(150.0, candidate="scan", phase="d")  # scan median replaces too
     heads = _headlines(capsys)
-    assert [h["value"] for h in heads] == [100.0, 100.0, 200.0]
-    assert heads[-1]["vs_baseline"] == 0.2
+    assert [h["value"] for h in heads] == [100.0, 50.0, 200.0, 150.0]
+    assert heads[-1]["vs_baseline"] == 0.15
     rec = json.loads((tracked / "bench_last_good.json").read_text())
-    assert rec["headline"]["value"] == 200.0
-    assert rec["details"]["phase"] == "c"
+    assert rec["headline"]["value"] == 150.0
+    assert rec["details"]["phase"] == "d"
 
 
 def test_mfu_tracks_best_rate(tracked, capsys):
