@@ -102,6 +102,19 @@ sys.exit(0 if sys.argv[2] in d else 1)
 EOF
 }
 
+# ---- 0b. ds64v3 R=4 fallback: v53's [16,8,24] rotation shot sits at
+# ~15-16 GB resident vs the 15.75 GiB arena with R=2; if it OOMed there,
+# retry with quarter slices (32 traj % 4 == 0) before giving up
+DS64V3R4="--skip-gen --n-primary 16 --n-primary-aux 8 --n-aux-per 3 \
+  --aux-grid 128 --aux-compute native --primary-store-dtype bf16 \
+  --remat --resident-rotate 4 --epochs 80 --tag ds64v3 --variants aux"
+for i in 1 2; do
+  summary_has runs/ns_production/summary.json aux_ds64v3 && break
+  probe
+  run_watched ns_ds64v3_r4 21600 2700 runs/ns_production \
+    python experiments/ns_production.py $DS64V3R4 --continue-training
+done
+
 # ---- 1. NS fno_lie production (pairs with baseline_ds32) --------------
 DS32="--skip-gen --n-primary 8 --n-primary-aux 4 --n-aux-per 3 \
   --aux-grid 128 --aux-compute native \
