@@ -432,6 +432,7 @@ def run_training(
     resident_rotate: int = 0,
     dr_leaky_clip: bool = False,  # replicate the reference's [:N] train-list
     # clip incl. the test tail (audit-only; data/dr.py:_load_train_pool)
+    resident_rotate_schedule: str = "block",  # block | cyclic; see below
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
@@ -598,9 +599,11 @@ def run_training(
     # the in-step pairing is ``p -> p*nA + j`` in resident-local indices.
     # Data-order trade-off vs the reference's global shuffle: each epoch
     # shuffles only WITHIN the resident slice, so a batch never mixes
-    # trajectories across slices; slices are visited in a fixed cyclic
-    # order.  Equivalent in expectation over a full cycle, but batch
-    # statistics within one epoch differ from a globally shuffled pool.
+    # trajectories across slices; the default "block" schedule gives each
+    # slice one contiguous epoch segment (leak-bounded on this backend —
+    # see _slice_for below), "cyclic" interleaves slices per epoch.
+    # Equivalent in expectation over a full run, but batch statistics
+    # within one epoch differ from a globally shuffled pool.
     # Gated on if_training: the eval path never reads the train pool, so
     # eval-only runs skip the multi-GB slice load (model-init templates
     # come from the test store in that case).
@@ -873,13 +876,29 @@ def run_training(
     ckpt_dirty = False
     last_ckpt_t = 0.0
     ckpt_min_interval_s = 60.0
+    # epoch -> resident-slice schedule.  "cyclic" (ep % R) swaps every
+    # epoch — R-1 swaps per pass — which this backend cannot afford: the
+    # tunnel client RETAINS the staging buffers of every device_put (the
+    # host-stream leak, PERFORMANCE.md), so each multi-GB swap leaks
+    # ~1.6x its payload of host RSS and a 40-epoch run OOMs the host
+    # (observed: 130 GB RSS, OOM-killed at swap ~13).  "block" gives each
+    # slice one contiguous ceil(epochs/R) segment — R-1 swaps per RUN —
+    # bounding the leak to R-1 payloads.  Data-order: block is a
+    # sequential curriculum over slices; equivalent for identical slices
+    # (the equivalence oracle) and for long runs where every slice still
+    # gets the same epoch count.
+    def _slice_for(ep: int) -> int:
+        if resident_rotate_schedule == "cyclic":
+            return ep % resident_rotate
+        return min((ep * resident_rotate) // max(epochs, 1), resident_rotate - 1)
+
     for ep in range(start_epoch, epochs):
-        if _rotate is not None and (ep % resident_rotate) != _rot_current:
+        if _rotate is not None and _slice_for(ep) != _rot_current:
             # all prior dispatches read the old slice: params is the last
             # async output chained on them, so readiness of params implies
             # the old buffers are safe to free
             jax.block_until_ready(params)
-            k = ep % resident_rotate
+            k = _slice_for(ep)
             train_w.data, _new_aux = _rotate(
                 k, old_p=train_w.data,
                 old_a=ds.aux_train.data if if_aux else None,

@@ -355,8 +355,9 @@ def run_transformer_training(
     # stream pre-gathered window batches (stores beyond one chip's HBM;
     # the NS aux pairing at reference num_aux_samples=6 is ~9.5 GB)
     resident_rotate: int = 0,  # R>1: full pool in host RAM, 1/R trajectory
-    # slice device-resident, swapped between epochs (block-cyclic; the
-    # single-chip beyond-HBM path — see train/fno_train.py for semantics)
+    # slice device-resident, swapped between epochs (the single-chip
+    # beyond-HBM path — see train/fno_train.py for semantics)
+    resident_rotate_schedule: str = "block",  # block | cyclic
 ) -> TransformerTrainResult:
     mesh = make_mesh()
     rng = np.random.default_rng(seed)
@@ -565,10 +566,19 @@ def run_transformer_training(
     ckpt_dirty = False
     last_ckpt_t = 0.0
     ckpt_min_interval_s = 120.0
+    # block schedule: one contiguous segment per slice (R-1 swaps per run,
+    # not per pass) — the tunnel client retains every swap's staging
+    # buffers, so per-epoch cyclic swapping leaks the host OOM-dead (see
+    # fno_train._slice_for and PERFORMANCE.md)
+    def _slice_for(ep: int) -> int:
+        if resident_rotate_schedule == "cyclic":
+            return ep % resident_rotate
+        return min((ep * resident_rotate) // max(epochs, 1), resident_rotate - 1)
+
     for ep in range(start_epoch, epochs):
-        if _rotate is not None and (ep % resident_rotate) != _rot_current:
+        if _rotate is not None and _slice_for(ep) != _rot_current:
             jax.block_until_ready(params)
-            k = ep % resident_rotate
+            k = _slice_for(ep)
             train_w.data, _new_aux = _rotate(
                 k, old_p=train_w.data,
                 old_a=ds.aux_train.data if if_aux else None,
