@@ -283,11 +283,17 @@ def main():
     t0 = time.perf_counter()
     for _ in range(3):
         params, opt_state, loss, g_norm = step_fn(params, opt_state, data, grid_r, bidx, key)
-    jax.block_until_ready(params)
+    float(loss)
     _log(f"train-step compile+warmup: {time.perf_counter()-t0:.1f}s")
+    emitter.details["timing"] = "value-fetch-forced (block_until_ready can return early on this backend)"
 
     # ---- phase 2: FIRST measurement window — emit headline ASAP ---------
     # BENCH_WINDOW_STEPS / BENCH_SCAN_K shrink the loops for smoke tests.
+    # TIMING RULE for this backend: every window ends with a VALUE FETCH
+    # (float(loss)), never bare block_until_ready — readiness notifications
+    # on the tunneled runtime can return before execution completes
+    # (measured: "1M steps/s" scans; PERFORMANCE.md round-3 timing audit),
+    # but a device->host scalar fetch cannot lie.
     win_steps = int(os.environ.get("BENCH_WINDOW_STEPS", "200"))
     n_steps = min(100, win_steps)
     t0 = time.perf_counter()
@@ -295,7 +301,7 @@ def main():
         params, opt_state, loss, g_norm = step_fn(
             params, opt_state, data, grid_r, bidx_pool[s % len(bidx_pool)], key
         )
-    jax.block_until_ready(params)
+    float(loss)  # forces true completion of the whole chain
     first_rate = n_steps / (time.perf_counter() - t0)
     _log(f"first window: {first_rate:.1f} steps/s — emitting headline")
     emitter.update(
@@ -317,7 +323,7 @@ def main():
             params, opt_state, loss, g_norm = step_fn(
                 params, opt_state, data, grid_r, bidx_pool[s % len(bidx_pool)], key
             )
-        jax.block_until_ready(params)
+        float(loss)  # value fetch: see timing rule above
         rates.append(n_steps / (time.perf_counter() - t0))
     dispatch_steps_per_sec = float(np.median(rates))
     _log(f"per-dispatch windows {[round(r,1) for r in rates]} steps/s, median {dispatch_steps_per_sec:.1f}")
@@ -368,7 +374,7 @@ def main():
         params, opt_state, losses, _ = step_fn.scan(
             params, opt_state, data, grid_r, chunk_pool[0], key
         )
-        jax.block_until_ready(params)
+        float(losses[-1])
         _log(f"scan-chunk compile+first: {time.perf_counter()-t0:.1f}s")
         scan_rates = []
         n_chunks = 5
@@ -380,7 +386,7 @@ def main():
                 params, opt_state, losses, _ = step_fn.scan(
                     params, opt_state, data, grid_r, chunk_pool[c % len(chunk_pool)], key
                 )
-            jax.block_until_ready(params)
+            float(losses[-1])  # value fetch: see timing rule above
             scan_rates.append(n_chunks * K / (time.perf_counter() - t0))
         if scan_rates:
             scan_steps_per_sec = float(np.median(scan_rates))
@@ -396,6 +402,60 @@ def main():
                 scan_steps_per_sec_windows=[round(r, 1) for r in scan_rates],
                 final_loss=float(losses[-1]),
             )
+
+        # adaptive big chunk: when the K-step dispatch time is dominated
+        # by tunnel RPC latency / dispatch-rate throttling (rate implies
+        # > 1 ms of per-dispatch overhead), K10 = 10K steps per dispatch
+        # amortizes it away — and is the true production loop shape (the
+        # trainers run epoch-scale scans).  Honest: every step is still a
+        # full optimizer step over a distinct window batch.
+        K10 = K * 10
+        # trigger when one K-chunk completes in < 0.5 s: at that scale a
+        # ~100-300 ms tunnel round-trip is a material fraction of the
+        # measurement and K10 amortizes it
+        if (
+            scan_rates
+            and _remaining(deadline_s) > 120
+            and K / scan_steps_per_sec < 0.5
+        ):
+            big = jnp.asarray(
+                np.stack(
+                    [
+                        rng.integers(0, n_traj, (K10, BATCH)),
+                        rng.integers(0, n_frames - INITIAL_STEP - 1, (K10, BATCH)),
+                    ],
+                    axis=2,
+                ).astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            params, opt_state, losses, _ = step_fn.scan(
+                params, opt_state, data, grid_r, big, key
+            )
+            float(losses[-1])
+            _log(f"scan-chunk(K={K10}) compile+first: {time.perf_counter()-t0:.1f}s")
+            big_rates = []
+            for w in range(3):
+                if _remaining(deadline_s) < 60 and big_rates:
+                    break
+                t0 = time.perf_counter()
+                params, opt_state, losses, _ = step_fn.scan(
+                    params, opt_state, data, grid_r, big, key
+                )
+                float(losses[-1])  # value fetch: see timing rule above
+                big_rates.append(K10 / (time.perf_counter() - t0))
+            if big_rates:
+                big_median = float(np.median(big_rates))
+                _log(
+                    f"scan-chunk(K={K10}) windows {[round(r,1) for r in big_rates]} "
+                    f"steps/s, median {big_median:.1f}"
+                )
+                emitter.update(
+                    big_median,
+                    candidate="scan_big",
+                    scan_big_chunk=K10,
+                    scan_big_steps_per_sec=big_median,
+                    scan_big_steps_per_sec_windows=[round(r, 1) for r in big_rates],
+                )
     else:
         _log("skipping scan-chunk phase (budget)")
 
@@ -411,10 +471,10 @@ def main():
             )
         )
         t0 = time.perf_counter()
-        jax.block_until_ready(ro(params, xb, gb))  # compile
+        float(jnp.sum(ro(params, xb, gb)))  # compile + forced completion
         _log(f"rollout compile: {time.perf_counter()-t0:.1f}s")
         t0 = time.perf_counter()
-        jax.block_until_ready(ro(params, xb, gb))
+        float(jnp.sum(ro(params, xb, gb)))  # value fetch: see timing rule
         rollout_s = time.perf_counter() - t0
         emitter.update(
             rollout100_wall_s=rollout_s,
@@ -443,14 +503,14 @@ def main():
         )
         try:
             t0 = time.perf_counter()
-            p64, o64, _, _ = step_fn.scan(
+            p64, o64, l64, _ = step_fn.scan(
                 params, opt_state, data, grid_r, idx64, key
             )
-            jax.block_until_ready(p64)
+            float(l64[-1])
             _log(f"batch64 scan compile+first: {time.perf_counter()-t0:.1f}s")
             t0 = time.perf_counter()
-            p64, o64, _, _ = step_fn.scan(p64, o64, data, grid_r, idx64, key)
-            jax.block_until_ready(p64)
+            p64, o64, l64, _ = step_fn.scan(p64, o64, data, grid_r, idx64, key)
+            float(l64[-1])  # value fetch: see timing rule above
             rate64 = K / (time.perf_counter() - t0)
             flops = emitter.details.get("hlo_flops_per_step")
             upd = {"batch64_scan_steps_per_sec": rate64}
