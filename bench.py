@@ -154,17 +154,23 @@ class Emitter:
         with self._lock:
             if self._emitted_any:
                 return
+            # the WHOLE body is guarded: even a stdout failure (e.g.
+            # BrokenPipeError when the parent driver died — a plausible
+            # companion to the wedge scenarios this code exists for) must
+            # return control to the watchdog so its os._exit still runs
             try:
                 rec = json.loads(_LAST_GOOD.read_text())
                 headline = rec["headline"]
                 details = dict(rec.get("details", {}))
-            except Exception:
-                _log(f"no result and no usable last-good file ({reason}); emitting nothing")
-                return
-            details.update({"fallback": True, "fallback_reason": reason})
-            print(json.dumps(details), file=sys.stderr, flush=True)
-            print(json.dumps(headline), flush=True)
-            self._emitted_any = True
+                details.update({"fallback": True, "fallback_reason": reason})
+                print(json.dumps(details), file=sys.stderr, flush=True)
+                print(json.dumps(headline), flush=True)
+                self._emitted_any = True
+            except Exception as e:
+                try:
+                    _log(f"fallback emission failed ({reason}): {e}")
+                except Exception:
+                    pass
 
 
 def _start_watchdog(emitter: Emitter, deadline_s: float) -> threading.Event:
@@ -178,13 +184,18 @@ def _start_watchdog(emitter: Emitter, deadline_s: float) -> threading.Event:
     def _watch():
         if done.wait(timeout=deadline_s):
             return
-        _log(f"DEADLINE {deadline_s:.0f}s reached — force-exiting with best-so-far")
-        emitter.emit_fallback_if_empty("deadline before first measurement")
-        sys.stdout.flush()
-        sys.stderr.flush()
-        # rc 0 only when SOME result (measured or fallback) was emitted; a
-        # totally empty run must fail loudly, not masquerade as success
-        os._exit(0 if emitter._emitted_any else 3)
+        # the force-exit is UNCONDITIONAL (finally): any exception on this
+        # thread before os._exit would leave the wedged process hanging
+        # forever — the exact evidence loss this watchdog exists to prevent
+        try:
+            _log(f"DEADLINE {deadline_s:.0f}s reached — force-exiting with best-so-far")
+            emitter.emit_fallback_if_empty("deadline before first measurement")
+            sys.stdout.flush()
+            sys.stderr.flush()
+        finally:
+            # rc 0 only when SOME result (measured or fallback) was emitted;
+            # a totally empty run must fail loudly, not masquerade as success
+            os._exit(0 if emitter._emitted_any else 3)
 
     t = threading.Thread(target=_watch, daemon=True, name="bench-watchdog")
     t.start()

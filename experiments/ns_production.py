@@ -98,6 +98,12 @@ def main(argv=None):
                         "rotate a 1/R trajectory slice on device per epoch "
                         "(single-chip path to pools beyond HBM; epochs are "
                         "per-slice, so R*N epochs = N full passes)")
+    p.add_argument("--rotate-schedule", default="block",
+                   choices=["block", "interleave", "cyclic"],
+                   help="slice schedule: block = 1 segment/slice (R-1 "
+                        "swaps/run, one LR band per slice), interleave = 2 "
+                        "half-run passes (2R-1 swaps, both LR bands), "
+                        "cyclic = per-epoch (host-OOM hazard)")
     p.add_argument("--skip-gen", action="store_true")
     p.add_argument("--eval-only", action="store_true",
                    help="skip training: restore the best-val checkpoint "
@@ -192,6 +198,7 @@ def main(argv=None):
                 aux_native_compute=(a.aux_compute == "native"),
                 fno_remat=a.remat, continue_training=a.continue_training,
                 resident_rotate=a.resident_rotate,
+                resident_rotate_schedule=a.rotate_schedule,
                 run_dir=str(out), model_name=f"ns_prod_{variant}{tag}",
                 log_every=500,
             )
@@ -221,6 +228,13 @@ def main(argv=None):
             "best_val": float(res.best_val),
             "train_seconds": train_s,
             "rollout_nrmse": [study[k]["nRMSE"] for k in sorted(study)],
+            # rotation flags the data-order/LR-band deviation from the
+            # reference's global shuffle (ADVICE r3): rotated rows are
+            # not directly comparable to non-rotated ones
+            "resident_rotate": int(a.resident_rotate),
+            "resident_rotate_schedule": (
+                a.rotate_schedule if a.resident_rotate else None
+            ),
         }
         summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1), flush=True)

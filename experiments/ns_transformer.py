@@ -200,6 +200,9 @@ def main(argv=None):
             "rollout_nrmse": final_seq,
             "rollout_nrmse_allsteps": cum_mean,
             "conventions": conventions,
+            # flags the rotation data-order/LR-band deviation (ADVICE r3)
+            "resident_rotate": int(a.resident_rotate),
+            "resident_rotate_schedule": ("block" if a.resident_rotate else None),
         }
         summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1), flush=True)

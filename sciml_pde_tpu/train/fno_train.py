@@ -432,7 +432,7 @@ def run_training(
     resident_rotate: int = 0,
     dr_leaky_clip: bool = False,  # replicate the reference's [:N] train-list
     # clip incl. the test tail (audit-only; data/dr.py:_load_train_pool)
-    resident_rotate_schedule: str = "block",  # block | cyclic; see below
+    resident_rotate_schedule: str = "block",  # block | interleave | cyclic
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
@@ -602,8 +602,15 @@ def run_training(
     # trajectories across slices; the default "block" schedule gives each
     # slice one contiguous epoch segment (leak-bounded on this backend —
     # see _slice_for below), "cyclic" interleaves slices per epoch.
-    # Equivalent in expectation over a full run, but batch statistics
-    # within one epoch differ from a globally shuffled pool.
+    # CONFOUND (not just batch statistics): under a decaying LR schedule
+    # "block" trains each slice in exactly one LR band (late slices only
+    # ever see low LR), so rotated results are NOT directly comparable to
+    # non-rotated or reference (globally shuffled) runs — rotated run
+    # summaries must record the schedule (experiments/ns_production.py
+    # does).  "interleave" gives every slice one segment in each LR half
+    # at 2R-1 swaps per run (still leak-bounded); "cyclic" matches the
+    # reference order best but costs R-1 swaps per EPOCH (host-OOM on
+    # this backend, see _slice_for).
     # Gated on if_training: the eval path never reads the train pool, so
     # eval-only runs skip the multi-GB slice load (model-init templates
     # come from the test store in that case).
@@ -663,10 +670,15 @@ def run_training(
                 )
             return p, a
 
-        train_w.data, _aux0 = _rotate(0)
-        if if_aux:
-            ds.aux_train.data = _aux0
-        _rot_current = 0
+        # The initial slice load is DEFERRED to the first epoch iteration:
+        # with continue_training the start epoch may map to a later slice,
+        # and an eager _rotate(0) here would waste one multi-GB transfer
+        # plus one staging-retention leak payload on every resume.  Until
+        # then train_w.data is a zero-copy numpy VIEW of one slice, so all
+        # shape-derived bookkeeping (window_index, steps/epoch) sees the
+        # resident-slice shape; model init gathers from the test store.
+        train_w.data = prim_host[:n_res]
+        _rot_current = None
 
     train_idx = train_w.window_index()
     test_idx = test_w.window_index()
@@ -713,10 +725,14 @@ def run_training(
     total_steps = epochs * steps_per_epoch
 
     key = jax.random.PRNGKey(seed)
-    # Eval-only runs template model init from the (small, always-resident)
-    # test store: gathering from a host-side train pool would device-put
-    # the entire multi-GB pool for one window.
-    init_w, init_idx = (train_w, train_idx) if if_training else (test_w, test_idx)
+    # Eval-only and rotation runs template model init from the (small,
+    # always-resident) test store: gathering from a host-side train pool
+    # would device-put the entire multi-GB pool for one window.
+    init_w, init_idx = (
+        (train_w, train_idx)
+        if if_training and _rotate is None
+        else (test_w, test_idx)
+    )
     x0, y0 = gather_windows(init_w.data, jnp.asarray(init_idx[:1]), initial_step, rollout_test)
     g0 = _broadcast_grid(init_w.grid, 1)
     if if_aux:
@@ -886,11 +902,20 @@ def run_training(
     # bounding the leak to R-1 payloads.  Data-order: block is a
     # sequential curriculum over slices; equivalent for identical slices
     # (the equivalence oracle) and for long runs where every slice still
-    # gets the same epoch count.
+    # gets the same epoch count — but under a DECAYING LR each block
+    # slice sees only one LR band (the ADVICE r3 confound), which
+    # "interleave" fixes at 2R-1 swaps per run: two half-run passes over
+    # the slices, so every slice trains once in the high-LR half and
+    # once in the low-LR half.
     def _slice_for(ep: int) -> int:
+        R = resident_rotate
         if resident_rotate_schedule == "cyclic":
-            return ep % resident_rotate
-        return min((ep * resident_rotate) // max(epochs, 1), resident_rotate - 1)
+            return ep % R
+        if resident_rotate_schedule == "interleave":
+            half = max(epochs // 2, 1)
+            ep_h, span = (ep, half) if ep < half else (ep - half, max(epochs - half, 1))
+            return min((ep_h * R) // span, R - 1)
+        return min((ep * R) // max(epochs, 1), R - 1)
 
     for ep in range(start_epoch, epochs):
         if _rotate is not None and _slice_for(ep) != _rot_current:
@@ -899,9 +924,12 @@ def run_training(
             # the old buffers are safe to free
             jax.block_until_ready(params)
             k = _slice_for(ep)
+            # first load of the run (_rot_current None): train_w.data is
+            # still the host pool — nothing on device to free
+            loaded = _rot_current is not None
             train_w.data, _new_aux = _rotate(
-                k, old_p=train_w.data,
-                old_a=ds.aux_train.data if if_aux else None,
+                k, old_p=train_w.data if loaded else None,
+                old_a=ds.aux_train.data if (if_aux and loaded) else None,
             )
             if if_aux:
                 ds.aux_train.data = _new_aux

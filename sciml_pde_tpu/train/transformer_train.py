@@ -463,10 +463,15 @@ def run_transformer_training(
                 )
             return p, a
 
-        train_w.data, _aux0 = _rotate(0)
-        if if_aux:
-            ds.aux_train.data = _aux0
-        _rot_current = 0
+        # Initial slice load DEFERRED to the first epoch iteration (see
+        # fno_train.py): a resume may start on a later slice, and an eager
+        # _rotate(0) would waste one multi-GB transfer + one
+        # staging-retention leak payload.  Until then train_w.data is a
+        # zero-copy numpy VIEW of one slice (correct window_index /
+        # steps-per-epoch shape); the model-init gather below reads the
+        # view host-side (tiny).
+        train_w.data = prim_host[:n_res]
+        _rot_current = None
 
     train_idx = train_w.window_index()
     test_idx = test_w.window_index()
@@ -571,17 +576,25 @@ def run_transformer_training(
     # buffers, so per-epoch cyclic swapping leaks the host OOM-dead (see
     # fno_train._slice_for and PERFORMANCE.md)
     def _slice_for(ep: int) -> int:
+        R = resident_rotate
         if resident_rotate_schedule == "cyclic":
-            return ep % resident_rotate
-        return min((ep * resident_rotate) // max(epochs, 1), resident_rotate - 1)
+            return ep % R
+        if resident_rotate_schedule == "interleave":
+            # two half-run passes: every slice sees both LR bands
+            # (fno_train._slice_for has the rationale)
+            half = max(epochs // 2, 1)
+            ep_h, span = (ep, half) if ep < half else (ep - half, max(epochs - half, 1))
+            return min((ep_h * R) // span, R - 1)
+        return min((ep * R) // max(epochs, 1), R - 1)
 
     for ep in range(start_epoch, epochs):
         if _rotate is not None and _slice_for(ep) != _rot_current:
             jax.block_until_ready(params)
             k = _slice_for(ep)
+            loaded = _rot_current is not None
             train_w.data, _new_aux = _rotate(
-                k, old_p=train_w.data,
-                old_a=ds.aux_train.data if if_aux else None,
+                k, old_p=train_w.data if loaded else None,
+                old_a=ds.aux_train.data if (if_aux and loaded) else None,
             )
             if if_aux:
                 ds.aux_train.data = _new_aux

@@ -3,10 +3,11 @@
 The single-chip path to train pools beyond one chip's HBM: the full pool
 stays in host RAM, a 1/R trajectory slice is device-resident, slices swap
 between epochs (block-cyclic data order).  Equivalence oracle: a pool
-whose R slices are byte-identical must train like the unrotated
+whose R slices are byte-identical must train EXACTLY like the unrotated
 single-slice run — same rng stream, same steps/epoch, same schedule —
-verified on the scalar best validation loss at rtol 1e-5 (the full
-loss history is not asserted).
+so the FULL train/val loss history is asserted (ADVICE r3: the scalar
+best-val relaxation had no power against rotation-order/rng-stream
+regressions, exactly the bug class schedule changes can introduce).
 """
 
 import h5py
@@ -63,16 +64,47 @@ def test_rotation_matches_unrotated_on_identical_slices(ns_folder, tmp_path):
     )
     assert np.isfinite(res_rot.best_val)
     np.testing.assert_allclose(res_rot.best_val, res_ref.best_val, rtol=1e-5)
+    # full-history equivalence: identical slices + identical rng stream
+    # must reproduce every per-epoch train and val loss, not just best-val
+    assert len(res_rot.history) == len(res_ref.history)
+    for h_rot, h_ref in zip(res_rot.history, res_ref.history):
+        np.testing.assert_allclose(
+            h_rot["train_loss"], h_ref["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(h_rot["val_loss"], h_ref["val_loss"], rtol=1e-5)
 
 
 def test_rotation_baseline_runs_and_rotates(ns_folder, tmp_path):
     kw = _common(ns_folder, tmp_path, "rotbase")
-    kw["epochs"] = 3  # odd epochs -> both slices visited, ends on slice 0
+    # epochs=3, R=2 under the block schedule: ep0/ep1 on slice 0, ep2 on
+    # slice 1 — both slices visited via a single swap, run ends on slice 1
+    kw["epochs"] = 3
     res = run_training(
         if_aux=False, train_subsample=(2, 2, 2), resident_rotate=2,
         primary_store_dtype="bf16", **kw,
     )
     assert np.isfinite(res.best_val)
+
+
+def test_rotation_interleave_matches_unrotated(ns_folder, tmp_path):
+    """The interleave schedule (2 half-run passes, both LR bands per
+    slice) must satisfy the same identical-slice exact equivalence."""
+    kw = _common(ns_folder, tmp_path, "rotI")
+    kw["epochs"] = 4
+    res_rot = run_training(
+        if_aux=False, train_subsample=(2, 2, 2), resident_rotate=2,
+        resident_rotate_schedule="interleave", **dict(kw, model_name="rotIA"),
+    )
+    res_ref = run_training(
+        if_aux=False, train_subsample=(1, 1, 1),
+        **dict(kw, model_name="rotIB"),
+    )
+    assert len(res_rot.history) == len(res_ref.history)
+    for h_rot, h_ref in zip(res_rot.history, res_ref.history):
+        np.testing.assert_allclose(
+            h_rot["train_loss"], h_ref["train_loss"], rtol=1e-5
+        )
+        np.testing.assert_allclose(h_rot["val_loss"], h_ref["val_loss"], rtol=1e-5)
 
 
 def test_rotation_rejects_bad_combos(ns_folder, tmp_path):
