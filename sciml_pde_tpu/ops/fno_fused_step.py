@@ -1,0 +1,814 @@
+"""Fully-fused FNO-2D training forward/backward as Pallas TPU kernels.
+
+Why (PERFORMANCE.md round-3 honest profile): the flagship FNO-2D step
+(batch 4, 128^2, width 20, modes 12 — reference config_dr.yaml:44-47,
+hot loop ``pdebench/models/fno/fno.py:70-92`` + ``fno/train.py:217-279``)
+costs 2.42 ms although its matmul content is ~0.06 ms: the XLA graph is
+~100 small ops whose intermediates round-trip HBM in layouts that pad a
+width-20 channel axis onto 128 lanes.  This module executes the WHOLE
+model per batch element inside VMEM:
+
+  - ``bb_fwd``    grid (B, L): instance-norm stats + lift (fc0) + the four
+                  spectral layers, activations carried in a VMEM scratch —
+                  per layer only the (C,130,130) pre-activation is spilled
+                  (needed for backward);
+  - ``head_fwd``  grid (B,): fc1 + gelu + fc2 + de-norm, spatially chunked
+                  so the (128, HW) hidden never exists in HBM (in XLA it
+                  is a 33 MB round-trip);
+  - ``head_bwd``  grid (B,): recomputes the hidden chunk-wise, accumulates
+                  dW1/db1/dW2/db2 across the batch in revisited out blocks;
+  - ``bb_bwd``    grid (B, L reversed): data gradient walked layer 3 -> 0
+                  with the cotangent carried in scratch; spills per-layer
+                  d(pre) for the weight-grad pass and accumulates
+                  dW0/db0 at the fc0 boundary;
+  - ``bb_wgrad``  grid (L, B): per-layer spectral/pointwise weight grads,
+                  batch accumulated in revisited out blocks.
+
+Layout: everything is channels-FIRST per element — (C, H, W) with the two
+spatial dims minor, so VMEM tiles pad (130,130) -> (136,256) (~2.1x)
+instead of channels-last's (130,20) -> (136,128) (~6.7x), and every
+contraction is a plain 2D ``jnp.dot`` (Mosaic's safe path).  The spectral
+chain is the partial-DFT formulation of ``ops/spectral.py`` (impl="dft")
+expressed per element:
+
+    W-axis rDFT (dot) -> transpose -> H-axis corner DFT (dot) ->
+    mode mix (broadcast-multiply-reduce over channels; the per-mode
+    (20x20) "matmuls" are too small for the MXU, so they run on the VPU
+    with the (k*r)=288 mode axis in lanes) -> inverse H -> transpose ->
+    Hermitian-weighted real inverse W + pointwise 1x1 + bias + gelu.
+
+The backward is hand-derived (every step is linear except gelu; instance
+norm uses stop-gradient stats, reference fno.py:139-143).  All helpers
+are pure-array functions shared verbatim between the Pallas kernel bodies
+and a reference composition, so they are unit-tested against ``jax.vjp``
+of the flax model without Pallas in the loop
+(tests/test_fno_fused_step.py); kernels run in interpreter mode off-TPU.
+
+Precision: dots take ``preferred_element_type=f32``.  When
+``ops.spectral._PRECISION`` is DEFAULT (the bf16 gate,
+SCIML_DFT_PRECISION=default), dot INPUTS are cast to bf16 — same
+contract as the XLA path's precision knob (closes the ADVICE r3 finding
+that the v1 fused layer ignored the precision setting).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sciml_pde_tpu.ops import spectral as _spec
+from sciml_pde_tpu.ops.spectral import _corner_rows, _dft_factors_1d
+
+L_LAYERS = 4
+_SQRT_2PI = float(np.sqrt(2.0 * np.pi))
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _dot_dtype():
+    """bf16 dot inputs iff the global dft-precision knob says DEFAULT."""
+    return (
+        jnp.bfloat16
+        if _spec._PRECISION == jax.lax.Precision.DEFAULT
+        else jnp.float32
+    )
+
+
+def _dot(a, b):
+    dt = _dot_dtype()
+    return jnp.dot(a.astype(dt), b.astype(dt), preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# Constant DFT factors (numpy, cached per (n, modes))
+# --------------------------------------------------------------------------
+
+
+class SpectralFactors(NamedTuple):
+    """All constant partial-DFT bases for one (Hp, Wp, m1, m2) geometry.
+
+    Shapes (Hp=Wp=n, m2=k modes on the rfft axis, 2*m1=r corner rows):
+      fr, fi:   (n, k)   forward W-axis rDFT
+      gr, gi:   (n, r)   forward H-axis corner DFT
+      hr, hi:   (r, n)   inverse H (no Hermitian doubling)
+      wr, wi:   (k, n)   inverse W (Hermitian-doubled, /n)
+      + transposes of each (suffix t) so kernels never transpose weights.
+    """
+
+    fr: np.ndarray
+    fi: np.ndarray
+    gr: np.ndarray
+    gi: np.ndarray
+    hr: np.ndarray
+    hi: np.ndarray
+    wr: np.ndarray
+    wi: np.ndarray
+    frt: np.ndarray
+    fit: np.ndarray
+    grt: np.ndarray
+    git: np.ndarray
+    hrt: np.ndarray
+    hit: np.ndarray
+    wrt: np.ndarray
+    wit: np.ndarray
+
+
+@functools.lru_cache(maxsize=16)
+def spectral_factors(hp: int, wp: int, m1: int, m2: int) -> SpectralFactors:
+    (fr, fi), (iwr, iwi) = _dft_factors_1d(wp, m2, None)
+    (gr, gi), (ihr, ihi) = _dft_factors_1d(hp, 2 * m1, _corner_rows(hp, m1))
+    mk = lambda a: np.ascontiguousarray(a, np.float32)
+    return SpectralFactors(
+        fr=mk(fr), fi=mk(fi), gr=mk(gr), gi=mk(gi),
+        hr=mk(ihr), hi=mk(ihi), wr=mk(iwr), wi=mk(iwi),
+        frt=mk(fr.T), fit=mk(fi.T), grt=mk(gr.T), git=mk(gi.T),
+        hrt=mk(ihr.T), hit=mk(ihi.T), wrt=mk(iwr.T), wit=mk(iwi.T),
+    )
+
+
+# --------------------------------------------------------------------------
+# Packed parameters (kernel-friendly orientations)
+# --------------------------------------------------------------------------
+
+
+class FastFNOParams(NamedTuple):
+    """FNO2d parameters re-oriented for the channels-first kernels.
+
+    wmr/wmi: (L, C, O, m2*2m1) — complex mode-mix weights, the reference's
+      w1/w2 corner blocks concatenated along the row axis then flattened
+      (k-major, r-minor) so the mode axis sits in lanes.
+    pw:  (L, C, O) 1x1 conv kernels;  pb: (L, O) their biases.
+    w0t: (C, F) transposed lift kernel; w1t: (128, C); w2t: (Co, 128).
+    """
+
+    wmr: jnp.ndarray
+    wmi: jnp.ndarray
+    pw: jnp.ndarray
+    pb: jnp.ndarray
+    w0t: jnp.ndarray
+    b0: jnp.ndarray
+    w1t: jnp.ndarray
+    b1: jnp.ndarray
+    w2t: jnp.ndarray
+    b2: jnp.ndarray
+
+
+def pack_params(tree, modes1: int, modes2: int) -> FastFNOParams:
+    """Flax FNO2d param tree -> FastFNOParams (pure jnp; jit-safe)."""
+    bb = tree["backbone"] if "backbone" in tree else tree
+    wmr, wmi, pw, pb = [], [], [], []
+    for i in range(L_LAYERS):
+        conv = bb[f"conv{i}"]
+        w1, w2 = conv["w1"], conv["w2"]  # (2, C, O, m1, m2)
+        wr = jnp.concatenate([w1[0], w2[0]], axis=2)  # (C, O, 2m1, m2)
+        wi = jnp.concatenate([w1[1], w2[1]], axis=2)
+        # (C, O, r, k) -> (C, O, k, r) -> (C, O, k*r): k-major flattening
+        # matches the (C, k, r) layout the kernels produce after the
+        # corner DFT
+        wmr.append(jnp.transpose(wr, (0, 1, 3, 2)).reshape(wr.shape[0], wr.shape[1], -1))
+        wmi.append(jnp.transpose(wi, (0, 1, 3, 2)).reshape(wi.shape[0], wi.shape[1], -1))
+        dense = bb[f"w{i}"]["Dense_0"]
+        pw.append(dense["kernel"])  # (C, O)
+        pb.append(dense["bias"])
+    fc0 = bb["fc0"]["Dense_0"]
+    fc1 = bb["fc1"]["Dense_0"]
+    head = tree.get("fc2", tree.get("fc2_primary"))
+    fc2 = head["Dense_0"] if "Dense_0" in head else head
+    return FastFNOParams(
+        wmr=jnp.stack(wmr), wmi=jnp.stack(wmi),
+        pw=jnp.stack(pw), pb=jnp.stack(pb),
+        w0t=fc0["kernel"].T, b0=fc0["bias"],
+        w1t=fc1["kernel"].T, b1=fc1["bias"],
+        w2t=fc2["kernel"].T, b2=fc2["bias"],
+    )
+
+
+def unpack_grads(g: FastFNOParams, modes1: int, modes2: int, like_tree):
+    """FastFNOParams cotangents -> flax param-tree cotangents."""
+    m1, m2 = modes1, modes2
+    bb = {}
+    for i in range(L_LAYERS):
+        c, o = g.pw.shape[1], g.pw.shape[2]
+        wr = jnp.transpose(g.wmr[i].reshape(c, o, m2, 2 * m1), (0, 1, 3, 2))
+        wi = jnp.transpose(g.wmi[i].reshape(c, o, m2, 2 * m1), (0, 1, 3, 2))
+        w1 = jnp.stack([wr[:, :, :m1], wi[:, :, :m1]])
+        w2 = jnp.stack([wr[:, :, m1:], wi[:, :, m1:]])
+        bb[f"conv{i}"] = {"w1": w1, "w2": w2}
+        bb[f"w{i}"] = {"Dense_0": {"kernel": g.pw[i], "bias": g.pb[i]}}
+    bb["fc0"] = {"Dense_0": {"kernel": g.w0t.T, "bias": g.b0}}
+    bb["fc1"] = {"Dense_0": {"kernel": g.w1t.T, "bias": g.b1}}
+    out = {"backbone": bb, "fc2": {"Dense_0": {"kernel": g.w2t.T, "bias": g.b2}}}
+    if "backbone" not in like_tree:  # flat tree (bare FNOBackbone use)
+        out.update(out.pop("backbone"))
+    return out
+
+
+# --------------------------------------------------------------------------
+# Array-level building blocks (shared by kernels, reference and tests)
+# --------------------------------------------------------------------------
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _gelu_grad(x):
+    """d/dx [x * Phi(x)] = Phi(x) + x * phi(x) (exact/erf gelu)."""
+    phi = jnp.exp(-0.5 * x * x) / _SQRT_2PI
+    cdf = 0.5 * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+    return cdf + x * phi
+
+
+def _spectral_fwd_el(h, wmr, wmi, f):
+    """Spectral conv for ONE element: h (C, Hp, Wp) -> (O, Hp, Wp).
+
+    Returns the result; the internal corner spectrum (br, bi) is also
+    returned for the weight-grad pass.
+    """
+    c, hp, wp = h.shape
+    k = f.fr.shape[1]
+    r = f.gr.shape[1]
+    hf = h.reshape(c * hp, wp)
+    ar = _dot(hf, f.fr).reshape(c, hp, k)  # (C, Hp, k)
+    ai = _dot(hf, f.fi).reshape(c, hp, k)
+    art = jnp.transpose(ar, (0, 2, 1)).reshape(c * k, hp)  # (C*k, Hp)
+    ait = jnp.transpose(ai, (0, 2, 1)).reshape(c * k, hp)
+    br = _dot(art, f.gr) - _dot(ait, f.gi)  # (C*k, r)
+    bi = _dot(art, f.gi) + _dot(ait, f.gr)
+    brm = br.reshape(c, k * r)
+    bim = bi.reshape(c, k * r)
+    # mode mix on the VPU: per-mode (C x O) contractions are too small for
+    # the MXU; broadcast-multiply then reduce the channel axis
+    cr = (brm[:, None, :] * wmr).sum(0) - (bim[:, None, :] * wmi).sum(0)
+    ci = (brm[:, None, :] * wmi).sum(0) + (bim[:, None, :] * wmr).sum(0)
+    o = wmr.shape[1]
+    crf = cr.reshape(o * k, r)
+    cif = ci.reshape(o * k, r)
+    dr_ = (_dot(crf, f.hr) - _dot(cif, f.hi)).reshape(o, k, hp)
+    di_ = (_dot(crf, f.hi) + _dot(cif, f.hr)).reshape(o, k, hp)
+    drt = jnp.transpose(dr_, (0, 2, 1)).reshape(o * hp, k)
+    dit = jnp.transpose(di_, (0, 2, 1)).reshape(o * hp, k)
+    s = (_dot(drt, f.wr) - _dot(dit, f.wi)).reshape(o, hp, wp)
+    return s, (brm, bim)
+
+
+def _spectral_adj_el(ds, wmr, wmi, f):
+    """Adjoint of _spectral_fwd_el wrt its input: ds (O,Hp,Wp) -> (C,Hp,Wp).
+
+    Also returns the adjoint corner spectrum (dcr, dci) — the cotangent
+    of the mode-mix output — which the weight-grad pass combines with the
+    forward corner spectrum.
+    """
+    o, hp, wp = ds.shape
+    k = f.fr.shape[1]
+    r = f.gr.shape[1]
+    dsf = ds.reshape(o * hp, wp)
+    ddrt = _dot(dsf, f.wrt).reshape(o, hp, k)  # adjoint of real inverse W
+    ddit = -_dot(dsf, f.wit).reshape(o, hp, k)
+    ddr = jnp.transpose(ddrt, (0, 2, 1)).reshape(o * k, hp)
+    ddi = jnp.transpose(ddit, (0, 2, 1)).reshape(o * k, hp)
+    dcr = (_dot(ddr, f.hrt) + _dot(ddi, f.hit)).reshape(o, k * r)
+    dci = (-_dot(ddr, f.hit) + _dot(ddi, f.hrt)).reshape(o, k * r)
+    # adjoint of the mix (reduce the O axis)
+    dbr = (dcr[None, :, :] * wmr).sum(1) + (dci[None, :, :] * wmi).sum(1)
+    dbi = (-dcr[None, :, :] * wmi).sum(1) + (dci[None, :, :] * wmr).sum(1)
+    c = wmr.shape[0]
+    dbrf = dbr.reshape(c * k, r)
+    dbif = dbi.reshape(c * k, r)
+    dart = (_dot(dbrf, f.grt) + _dot(dbif, f.git)).reshape(c, k, hp)
+    dait = (-_dot(dbrf, f.git) + _dot(dbif, f.grt)).reshape(c, k, hp)
+    dar = jnp.transpose(dart, (0, 2, 1)).reshape(c * hp, k)
+    dai = jnp.transpose(dait, (0, 2, 1)).reshape(c * hp, k)
+    dh = (_dot(dar, f.frt) + _dot(dai, f.fit)).reshape(c, hp, wp)
+    return dh, (dcr, dci)
+
+
+def _layer_fwd_el(h, wmr, wmi, pw, pb, f, last: bool):
+    """One FNO layer for one element.  Returns (h_next, pre)."""
+    c = h.shape[0]
+    s, _ = _spectral_fwd_el(h, wmr, wmi, f)
+    p = _dot(pw.T, h.reshape(c, -1)).reshape(s.shape)
+    pre = s + p + pb[:, None, None]
+    return (pre if last else _gelu(pre)), pre
+
+
+def _layer_bwd_data_el(dh_next, pre, wmr, wmi, pw, f, last):
+    """Data cotangent of one layer.  Returns (dh, dpre).
+
+    ``last`` may be a traced bool (kernel program_id comparison), so the
+    gelu branch is a select, not python control flow.
+    """
+    dpre = jnp.where(last, dh_next, dh_next * _gelu_grad(pre))
+    dh_spec, _ = _spectral_adj_el(dpre, wmr, wmi, f)
+    o = dpre.shape[0]
+    dh_pw = _dot(pw, dpre.reshape(o, -1)).reshape(dh_spec.shape)
+    return dh_spec + dh_pw, dpre
+
+
+def _layer_wgrad_el(h, dpre, wmr, wmi, f):
+    """Weight cotangents of one layer from its input h and dpre."""
+    c, o = h.shape[0], dpre.shape[0]
+    _, (brm, bim) = _spectral_fwd_el(h, wmr, wmi, f)
+    _, (dcr, dci) = _spectral_adj_el(dpre, wmr, wmi, f)
+    dwmr = brm[:, None, :] * dcr[None, :, :] + bim[:, None, :] * dci[None, :, :]
+    dwmi = -bim[:, None, :] * dcr[None, :, :] + brm[:, None, :] * dci[None, :, :]
+    dpw = _dot(h.reshape(c, -1), dpre.reshape(o, -1).T)
+    dpb = jnp.sum(dpre, axis=(1, 2))
+    return dwmr, dwmi, dpw, dpb
+
+
+def _stats_el(x5):
+    """Instance-norm stats for one element: x5 (T, Cc, X, Y) -> (mean, std)
+    per physical channel Cc, unbiased over (T, X, Y) + 1e-7 (fno.py:139)."""
+    n = x5.shape[0] * x5.shape[2] * x5.shape[3]
+    mean = jnp.mean(x5, axis=(0, 2, 3))
+    var = jnp.sum((x5 - mean[None, :, None, None]) ** 2, axis=(0, 2, 3)) / (n - 1)
+    return mean, jnp.sqrt(var) + 1e-7
+
+
+def _prep_el(x5, grid2, mean, std):
+    """Normalize + flatten (t-major feature order, matching the reference
+    reshape B,X,Y,T*C) + append grid channels: -> (F=T*Cc+G, X, Y)."""
+    t, cc, xx, yy = x5.shape
+    xn = (x5 - mean[None, :, None, None]) / std[None, :, None, None]
+    return jnp.concatenate([xn.reshape(t * cc, xx, yy), grid2], axis=0)
+
+
+# --------------------------------------------------------------------------
+# Reference composition (pure jnp; what the kernels must reproduce)
+# --------------------------------------------------------------------------
+
+
+def fno2d_fused_reference(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
+    """win (B, T, Cc, X, Y), grid2 (G, X, Y) -> pred (B, Cc, X, Y).
+
+    Mirrors models.fno.FNO2d.__call__ exactly (instance norm -> lift ->
+    pad -> 4 layers -> unpad -> fc1 -> gelu -> fc2 -> de-norm) in the
+    channels-first layout.
+    """
+    b, t, cc, xx, yy = win.shape
+    hp, wp = xx + pad, yy + pad
+    f = spectral_factors(hp, wp, modes1, modes2)
+    f = SpectralFactors(*(jnp.asarray(a) for a in f))
+    c = p.w0t.shape[0]
+
+    def one(x5):
+        mean, std = _stats_el(x5)
+        mean, std = jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
+        inp = _prep_el(x5, grid2, mean, std)
+        h0 = (_dot(p.w0t, inp.reshape(inp.shape[0], -1)) + p.b0[:, None]).reshape(c, xx, yy)
+        h = jnp.zeros((c, hp, wp), jnp.float32).at[:, :xx, :yy].set(h0)
+        for i in range(L_LAYERS):
+            h, _ = _layer_fwd_el(h, p.wmr[i], p.wmi[i], p.pw[i], p.pb[i], f,
+                                 last=(i == L_LAYERS - 1))
+        bb = h[:, :xx, :yy]
+        t1 = _gelu(_dot(p.w1t, bb.reshape(c, -1)) + p.b1[:, None])
+        outn = (_dot(p.w2t, t1) + p.b2[:, None]).reshape(-1, xx, yy)
+        return outn * std[:, None, None] + mean[:, None, None]
+
+    return jax.vmap(one)(win)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernels
+# --------------------------------------------------------------------------
+
+
+def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pb_ref,
+                   w0t_ref, b0_ref, facs_refs, pre_ref, bbout_ref, stats_ref,
+                   h0p_ref, h_scr):
+    i = pl.program_id(1)
+    f = SpectralFactors(*(r[:] for r in facs_refs))
+    c, hp, wp = h_scr.shape
+    xx, yy = bbout_ref.shape[3], bbout_ref.shape[4]
+
+    @pl.when(i == 0)
+    def _():
+        x5 = win_ref[0]
+        mean, std = _stats_el(x5)
+        stats_ref[0, 0] = mean
+        stats_ref[0, 1] = std
+        inp = _prep_el(x5, grid_ref[:], mean, std)
+        h0 = (_dot(w0t_ref[:], inp.reshape(inp.shape[0], -1))
+              + b0_ref[:][:, None]).reshape(c, xx, yy)
+        h_scr[:] = jnp.zeros((c, hp, wp), jnp.float32)
+        h_scr[:, :xx, :yy] = h0
+        h0p_ref[0] = h_scr[:]
+
+    last = i == L_LAYERS - 1
+    h = h_scr[:]
+    s, _ = _spectral_fwd_el(h, wmr_ref[0], wmi_ref[0], f)
+    p = _dot(pw_ref[0].T, h.reshape(c, -1)).reshape(s.shape)
+    pre = s + p + pb_ref[0][:, None, None]
+    pre_ref[0, 0] = pre
+    h_scr[:] = jnp.where(last, pre, _gelu(pre))
+
+    @pl.when(last)
+    def _():
+        bbout_ref[0, 0] = h_scr[:, :xx, :yy]
+
+
+def _head_fwd_kernel(bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                     pred_ref, *, n_chunks: int):
+    c = bb_ref.shape[1]
+    xx, yy = bb_ref.shape[2], bb_ref.shape[3]
+    hw = xx * yy
+    ck = hw // n_chunks
+    bb = bb_ref[0].reshape(c, hw)
+    mean = stats_ref[0, 0, :]
+    std = stats_ref[0, 1, :]
+    co = pred_ref.shape[1]
+    for j in range(n_chunks):
+        sl = slice(j * ck, (j + 1) * ck)
+        t1 = _gelu(_dot(w1t_ref[:], bb[:, sl]) + b1_ref[:][:, None])
+        outn = _dot(w2t_ref[:], t1) + b2_ref[:][:, None]
+        pred_ref[0, :, sl] = outn * std[:, None] + mean[:, None]
+
+
+def _head_bwd_kernel(dpred_ref, bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref,
+                     dbb_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                     *, n_chunks: int):
+    b = pl.program_id(0)
+    c = bb_ref.shape[1]
+    xx, yy = bb_ref.shape[2], bb_ref.shape[3]
+    hw = xx * yy
+    ck = hw // n_chunks
+    bb = bb_ref[0].reshape(c, hw)
+    std = stats_ref[0, 1, :]
+    co = dpred_ref.shape[1]
+    dpred = dpred_ref[0].reshape(co, hw) * std[:, None]
+
+    @pl.when(b == 0)
+    def _():
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    for j in range(n_chunks):
+        sl = slice(j * ck, (j + 1) * ck)
+        bbc = bb[:, sl]
+        pre1 = _dot(w1t_ref[:], bbc) + b1_ref[:][:, None]
+        t1 = _gelu(pre1)
+        dout = dpred[:, sl]
+        dw2t_ref[:] += _dot(dout, t1.T)
+        db2_ref[:] += jnp.sum(dout, axis=1)
+        dt1 = _dot(w2t_ref[:].T, dout)
+        dpre1 = dt1 * _gelu_grad(pre1)
+        dw1t_ref[:] += _dot(dpre1, bbc.T)
+        db1_ref[:] += jnp.sum(dpre1, axis=1)
+        dbb_ref[0, :, sl] = _dot(w1t_ref[:].T, dpre1)
+
+
+def _bb_bwd_kernel(dbb_ref, pre_ref, win_ref, grid_ref, stats_ref,
+                   wmr_ref, wmi_ref, pw_ref, w0t_ref, facs_refs,
+                   dpre_ref, dw0t_ref, db0_ref, dh_scr):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    layer = L_LAYERS - 1 - i
+    f = SpectralFactors(*(r[:] for r in facs_refs))
+    c, hp, wp = dh_scr.shape
+    xx, yy = dbb_ref.shape[3], dbb_ref.shape[4]
+
+    @pl.when(i == 0)
+    def _():
+        dh_scr[:] = jnp.zeros((c, hp, wp), jnp.float32)
+        dh_scr[:, :xx, :yy] = dbb_ref[0, 0]
+
+    pre = pre_ref[0, 0]
+    dh, dpre = _layer_bwd_data_el(
+        dh_scr[:], pre, wmr_ref[0], wmi_ref[0], pw_ref[0], f,
+        last=(layer == L_LAYERS - 1),
+    )
+    dpre_ref[0, 0] = dpre
+    dh_scr[:] = dh
+
+    @pl.when(i == L_LAYERS - 1)
+    def _():
+        # dh is now the cotangent of the padded fc0 output
+        dh0 = dh_scr[:, :xx, :yy].reshape(c, xx * yy)
+        mean = stats_ref[0, 0, :]
+        std = stats_ref[0, 1, :]
+        inp = _prep_el(win_ref[0], grid_ref[:], mean, std)
+        finp = inp.reshape(inp.shape[0], -1)
+
+        @pl.when(b == 0)
+        def _():
+            dw0t_ref[:] = jnp.zeros_like(dw0t_ref)
+            db0_ref[:] = jnp.zeros_like(db0_ref)
+
+        dw0t_ref[:] += _dot(dh0, finp.T)
+        db0_ref[:] += jnp.sum(dh0, axis=1)
+
+
+def _bb_wgrad_kernel(pre_prev_ref, h0p_ref, dpre_ref, wmr_ref, wmi_ref,
+                     facs_refs, dwmr_ref, dwmi_ref, dpw_ref, dpb_ref):
+    layer = pl.program_id(0)
+    b = pl.program_id(1)
+    f = SpectralFactors(*(r[:] for r in facs_refs))
+    h = jnp.where(layer == 0, h0p_ref[0], _gelu(pre_prev_ref[0, 0]))
+    dwmr, dwmi, dpw, dpb = _layer_wgrad_el(
+        h, dpre_ref[0, 0], wmr_ref[0], wmi_ref[0], f
+    )
+
+    @pl.when(b == 0)
+    def _():
+        dwmr_ref[0] = jnp.zeros_like(dwmr_ref[0])
+        dwmi_ref[0] = jnp.zeros_like(dwmi_ref[0])
+        dpw_ref[0] = jnp.zeros_like(dpw_ref[0])
+        dpb_ref[0] = jnp.zeros_like(dpb_ref[0])
+
+    dwmr_ref[0] += dwmr
+    dwmi_ref[0] += dwmi
+    dpw_ref[0] += dpw
+    dpb_ref[0] += dpb
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers
+# --------------------------------------------------------------------------
+
+
+def _facs_arrays(hp, wp, m1, m2):
+    return tuple(jnp.asarray(a) for a in spectral_factors(hp, wp, m1, m2))
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda *_: (0,) * nd, memory_space=pltpu.VMEM)
+
+
+def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
+    b, t, cc, xx, yy = win.shape
+    hp, wp = xx + pad, yy + pad
+    c = p.w0t.shape[0]
+    facs = _facs_arrays(hp, wp, m1, m2)
+    n_facs = len(facs)
+
+    def kernel(*refs):
+        win_r, grid_r, wmr_r, wmi_r, pw_r, pb_r, w0t_r, b0_r = refs[:8]
+        f_rs = refs[8:8 + n_facs]
+        pre_r, bbout_r, stats_r, h0p_r = refs[8 + n_facs:8 + n_facs + 4]
+        h_scr = refs[-1]
+        _bb_fwd_kernel(win_r, grid_r, wmr_r, wmi_r, pw_r, pb_r, w0t_r, b0_r,
+                       f_rs, pre_r, bbout_r, stats_r, h0p_r, h_scr)
+
+    in_specs = [
+        pl.BlockSpec((1, t, cc, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        _const_spec(grid2.shape),
+        pl.BlockSpec((1,) + p.wmr.shape[1:], lambda bb_, i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + p.wmi.shape[1:], lambda bb_, i: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + p.pw.shape[1:], lambda bb_, i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1,) + p.pb.shape[1:], lambda bb_, i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        _const_spec(p.w0t.shape),
+        _const_spec(p.b0.shape),
+    ] + [_const_spec(a.shape) for a in facs]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, L_LAYERS, c, hp, wp), jnp.float32),  # pre
+        jax.ShapeDtypeStruct((b, 1, c, xx, yy), jnp.float32),         # bbout
+        jax.ShapeDtypeStruct((b, 2, cc), jnp.float32),                # stats
+        jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),            # h0p
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, c, hp, wp), lambda bb_, i: (bb_, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 2, cc), lambda bb_, i: (bb_, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c, hp, wp), lambda bb_, i: (bb_, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    pre, bbout, stats, h0p = pl.pallas_call(
+        kernel,
+        grid=(b, L_LAYERS),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((c, hp, wp), jnp.float32)],
+        interpret=_use_interpret(),
+    )(win, grid2, p.wmr, p.wmi, p.pw, p.pb, p.w0t, p.b0, *facs)
+    return pre, bbout[:, 0], stats, h0p
+
+
+def _head_forward(bbout, stats, p: FastFNOParams, n_chunks=4):
+    b, c, xx, yy = bbout.shape
+    co = p.w2t.shape[0]
+    kernel = functools.partial(_head_fwd_kernel, n_chunks=n_chunks)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, xx, yy), lambda bb_: (bb_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, stats.shape[-1]), lambda bb_: (bb_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(p.w1t.shape),
+            _const_spec(p.b1.shape),
+            _const_spec(p.w2t.shape),
+            _const_spec(p.b2.shape),
+        ],
+        out_specs=pl.BlockSpec((1, co, xx * yy), lambda bb_: (bb_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, co, xx * yy), jnp.float32),
+        interpret=_use_interpret(),
+    )(bbout, stats, p.w1t, p.b1, p.w2t, p.b2).reshape(b, co, xx, yy)
+
+
+def _head_backward(dpred, bbout, stats, p: FastFNOParams, n_chunks=4):
+    b, c, xx, yy = bbout.shape
+    co = dpred.shape[1]
+    nh = p.w1t.shape[0]
+    kernel = functools.partial(_head_bwd_kernel, n_chunks=n_chunks)
+    dbb, dw1t, db1, dw2t, db2 = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, co, xx * yy), lambda bb_: (bb_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, xx, yy), lambda bb_: (bb_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, stats.shape[-1]), lambda bb_: (bb_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(p.w1t.shape),
+            _const_spec(p.b1.shape),
+            _const_spec(p.w2t.shape),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, xx * yy), lambda bb_: (bb_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(p.w1t.shape),
+            _const_spec(p.b1.shape),
+            _const_spec(p.w2t.shape),
+            _const_spec(p.b2.shape),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, xx * yy), jnp.float32),
+            jax.ShapeDtypeStruct(p.w1t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.b1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.w2t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.b2.shape, jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(dpred.reshape(b, co, xx * yy), bbout, stats, p.w1t, p.b1, p.w2t)
+    return dbb.reshape(b, c, xx, yy), dw1t, db1, dw2t, db2
+
+
+def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
+    b, t, cc, xx, yy = win.shape
+    hp, wp = xx + pad, yy + pad
+    c = p.w0t.shape[0]
+    facs = _facs_arrays(hp, wp, m1, m2)
+    n_facs = len(facs)
+
+    def kernel(*refs):
+        dbb_r, pre_r, win_r, grid_r, stats_r, wmr_r, wmi_r, pw_r, w0t_r = refs[:9]
+        f_rs = refs[9:9 + n_facs]
+        dpre_r, dw0t_r, db0_r = refs[9 + n_facs:9 + n_facs + 3]
+        dh_scr = refs[-1]
+        _bb_bwd_kernel(dbb_r, pre_r, win_r, grid_r, stats_r, wmr_r, wmi_r,
+                       pw_r, w0t_r, f_rs, dpre_r, dw0t_r, db0_r, dh_scr)
+
+    # layer weights walked in REVERSE: block l = L-1-i
+    rev = lambda bb_, i: (L_LAYERS - 1 - i, 0, 0, 0)
+    rev3 = lambda bb_, i: (L_LAYERS - 1 - i, 0, 0)
+    dpre, dw0t, db0 = pl.pallas_call(
+        kernel,
+        grid=(b, L_LAYERS),
+        in_specs=[
+            pl.BlockSpec((1, 1, c, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, hp, wp),
+                         lambda bb_, i: (bb_, L_LAYERS - 1 - i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, cc, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(grid2.shape),
+            pl.BlockSpec((1, 2, cc), lambda bb_, i: (bb_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.wmr.shape[1:], rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.wmi.shape[1:], rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.pw.shape[1:], rev3, memory_space=pltpu.VMEM),
+            _const_spec(p.w0t.shape),
+        ] + [_const_spec(a.shape) for a in facs],
+        out_specs=[
+            pl.BlockSpec((1, 1, c, hp, wp),
+                         lambda bb_, i: (bb_, L_LAYERS - 1 - i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(p.w0t.shape),
+            _const_spec(p.b0.shape),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, L_LAYERS, c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct(p.w0t.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.b0.shape, jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((c, hp, wp), jnp.float32)],
+        interpret=_use_interpret(),
+    )(dbb[:, None], pre, win, grid2, stats, p.wmr, p.wmi, p.pw, p.w0t, *facs)
+    return dpre, dw0t, db0
+
+
+def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
+    b = pre.shape[0]
+    c, hp, wp = pre.shape[2:]
+    o = p.wmr.shape[2]
+    kr = p.wmr.shape[-1]
+    facs = _facs_arrays(hp, wp, m1, m2)
+    n_facs = len(facs)
+
+    def kernel(*refs):
+        pre_prev_r, h0p_r, dpre_r, wmr_r, wmi_r = refs[:5]
+        f_rs = refs[5:5 + n_facs]
+        dwmr_r, dwmi_r, dpw_r, dpb_r = refs[5 + n_facs:]
+        _bb_wgrad_kernel(pre_prev_r, h0p_r, dpre_r, wmr_r, wmi_r, f_rs,
+                         dwmr_r, dwmi_r, dpw_r, dpb_r)
+
+    # layer l >= 1 reads pre[b, l-1] (its input is gelu of the previous
+    # layer's pre-activation); l == 0 loads pre[b, 0] as a dummy and the
+    # kernel selects h0p instead
+    lsel = lambda l, bb_: (bb_, jnp.maximum(l - 1, 0), 0, 0, 0)
+    dwmr, dwmi, dpw, dpb = pl.pallas_call(
+        kernel,
+        grid=(L_LAYERS, b),
+        in_specs=[
+            pl.BlockSpec((1, 1, c, hp, wp), lsel, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hp, wp), lambda l, bb_: (bb_, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, hp, wp), lambda l, bb_: (bb_, l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [_const_spec(a.shape) for a in facs],
+        out_specs=[
+            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, o), lambda l, bb_: (l, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, o), lambda l, bb_: (l, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(p.wmr.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.wmi.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.pw.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.pb.shape, jnp.float32),
+        ],
+        interpret=_use_interpret(),
+    )(pre, h0p, dpre, p.wmr, p.wmi, *facs)
+    return dwmr, dwmi, dpw, dpb
+
+
+# --------------------------------------------------------------------------
+# The differentiable fused model apply
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def fno2d_fused_apply(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
+    """Fused FNO2d forward: win (B,T,Cc,X,Y), grid2 (G,X,Y) -> (B,Cc,X,Y).
+
+    Differentiable in ``p`` (win/grid get zero cotangents — the window is
+    data; instance-norm stats are stop-gradient per the reference).
+    """
+    pre, bbout, stats, h0p = _bb_forward(win, grid2, p, modes1, modes2, pad)
+    return _head_forward(bbout, stats, p)
+
+
+def _apply_fwd(win, grid2, p, modes1, modes2, pad):
+    pre, bbout, stats, h0p = _bb_forward(win, grid2, p, modes1, modes2, pad)
+    pred = _head_forward(bbout, stats, p)
+    return pred, (win, grid2, p, pre, bbout, stats, h0p)
+
+
+def _apply_bwd(modes1, modes2, pad, res, dpred):
+    win, grid2, p, pre, bbout, stats, h0p = res
+    dbb, dw1t, db1, dw2t, db2 = _head_backward(dpred, bbout, stats, p)
+    dpre, dw0t, db0 = _bb_backward(dbb, pre, win, grid2, stats, p,
+                                   modes1, modes2, pad)
+    dwmr, dwmi, dpw, dpb = _bb_weight_grads(pre, h0p, dpre, p, modes1, modes2)
+    dp = FastFNOParams(
+        wmr=dwmr, wmi=dwmi, pw=dpw, pb=dpb, w0t=dw0t, b0=db0,
+        w1t=dw1t, b1=db1, w2t=dw2t, b2=db2,
+    )
+    return jnp.zeros_like(win), jnp.zeros_like(grid2), dp
+
+
+fno2d_fused_apply.defvjp(_apply_fwd, _apply_bwd)
