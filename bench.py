@@ -234,6 +234,26 @@ def main():
     from sciml_pde_tpu.train.fno_train import build_baseline_step
     from sciml_pde_tpu.train.optim import make_optimizer
 
+    # bf16 spectral contractions are adopted ONLY when the committed
+    # accuracy gate (experiments/dft_precision_gate.py: train twice,
+    # compare rollout tables) has PASSED on this machine; otherwise the
+    # exact-f32 default stands.  SCIML_DFT_PRECISION still overrides.
+    gate_file = pathlib.Path(__file__).parent / "runs" / "dft_precision_gate" / "summary.json"
+    if "SCIML_DFT_PRECISION" not in os.environ:
+        try:
+            gate = json.loads(gate_file.read_text())
+            if gate.get("verdict") == "PASS":
+                from sciml_pde_tpu.ops.spectral import set_dft_precision
+
+                set_dft_precision("default")
+                emitter.details["dft_precision"] = (
+                    f"default (gate PASS, max degradation "
+                    f"{max(gate['relative_degradation_r1_5'])*100:.2f}%)"
+                )
+                _log("bf16-dft adopted (accuracy gate PASS)")
+        except (OSError, ValueError, KeyError):
+            pass
+
     mesh = make_mesh()
     rng = np.random.default_rng(0)
 
@@ -469,6 +489,71 @@ def main():
                 )
     else:
         _log("skipping scan-chunk phase (budget)")
+
+    # ---- phase 5f: fused Pallas step (ops/fno_fused_step.py) ------------
+    # The whole model runs per batch element inside VMEM (5 pallas_calls)
+    # and the optimizer is ~12 ops on one flat parameter vector — same
+    # math as the production step (asserted step-for-step on CPU in
+    # tests/test_fast_step.py), far fewer/larger ops.  Guarded: a Mosaic
+    # compile failure on this backend must never cost the bench run.
+    if _remaining(deadline_s) > 150:
+        try:
+            from sciml_pde_tpu.train.fast_step import (
+                build_fast_baseline_step,
+                fast_state_from_tree,
+                init_opt,
+            )
+
+            theta, spec = fast_state_from_tree(params, 12)
+            fstep, fscan = build_fast_baseline_step(
+                12, INITIAL_STEP, spec, 1e-3, 10_000
+            )
+            grid2 = jnp.transpose(grid, (2, 0, 1))
+            opt_f = init_opt(theta)
+            Kf = int(os.environ.get("BENCH_SCAN_K", "100"))
+            chunk = jnp.asarray(
+                np.stack(
+                    [
+                        rng.integers(0, n_traj, (Kf, BATCH)),
+                        rng.integers(0, n_frames - INITIAL_STEP - 1, (Kf, BATCH)),
+                    ],
+                    axis=2,
+                ).astype(np.int32)
+            )
+            t0 = time.perf_counter()
+            theta, opt_f, losses_f, _ = fscan(theta, opt_f, data, grid2, chunk)
+            lf = float(losses_f[-1])
+            _log(f"fused scan compile+first: {time.perf_counter()-t0:.1f}s (loss {lf:.4f})")
+            if not np.isfinite(lf):
+                raise FloatingPointError(f"fused step loss not finite: {lf}")
+            fused_rates = []
+            for w in range(5):
+                if _remaining(deadline_s) < 60 and fused_rates:
+                    break
+                t0 = time.perf_counter()
+                for _ in range(5):
+                    theta, opt_f, losses_f, _ = fscan(
+                        theta, opt_f, data, grid2, chunk
+                    )
+                float(losses_f[-1])  # value fetch: see timing rule above
+                fused_rates.append(5 * Kf / (time.perf_counter() - t0))
+            if fused_rates and np.isfinite(float(losses_f[-1])):
+                fused_sps = float(np.median(fused_rates))
+                _log(
+                    f"fused scan windows {[round(r,1) for r in fused_rates]} "
+                    f"steps/s, median {fused_sps:.1f}"
+                )
+                emitter.update(
+                    fused_sps,
+                    candidate="scan_fused",
+                    fused_scan_steps_per_sec=fused_sps,
+                    fused_scan_steps_per_sec_windows=[round(r, 1) for r in fused_rates],
+                    fused_final_loss=float(losses_f[-1]),
+                )
+        except Exception as e:
+            _log(f"fused phase unavailable (non-fatal): {type(e).__name__}: {e}")
+    else:
+        _log("skipping fused phase (budget)")
 
     # ---- phase 6: 100-step rollout wall-clock ---------------------------
     if _remaining(deadline_s) > 90:

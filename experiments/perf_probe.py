@@ -1,0 +1,213 @@
+"""Round-4 chip probe: fused-Pallas step vs production step, f32 vs bf16.
+
+One bounded run (queue item) that measures every round-4 perf candidate
+on the real chip and writes ``experiments/results/perf_probe_r4.json``.
+Each config runs in its OWN SUBPROCESS with a timeout so a Mosaic compile
+failure or a tunnel wedge on one variant cannot cost the others (the
+fused kernels have never been compiled on real TPU before this probe).
+
+Configs (flagship shape: batch 4, 128^2, width 20, modes 12, t0 10):
+  prod_f32      production scan step (baseline; should match BENCH_r03)
+  prod_bf16     production step, SCIML_DFT_PRECISION=default
+  fused_f32     fused Pallas step (ops/fno_fused_step.py)
+  fused_bf16    fused step with bf16 dot inputs
+  fused_fwd     fused forward only (rollout shape), scan of 100
+  fused_b64     fused step at batch 64 (MFU headroom)
+
+Timing rule (PERFORMANCE.md round-3 audit): every window ends with a
+device->host VALUE FETCH; block_until_ready can return early on this
+backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+_REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:  # subprocess mode must not depend on PYTHONPATH
+    sys.path.insert(0, _REPO)
+
+BATCH, NX, NY, T0, CC = 4, 128, 128, 10, 2
+MODES, WIDTH = 12, 20
+OUT = pathlib.Path(__file__).parent / "results" / "perf_probe_r4.json"
+
+CONFIGS = {
+    "prod_f32": {"kind": "prod", "prec": "highest"},
+    "prod_bf16": {"kind": "prod", "prec": "default"},
+    "fused_f32": {"kind": "fused", "prec": "highest"},
+    "fused_bf16": {"kind": "fused", "prec": "default"},
+    "fused_fwd": {"kind": "fused_fwd", "prec": "highest"},
+    "fused_b64": {"kind": "fused", "prec": "highest", "batch": 64},
+}
+
+
+def run_one(name: str) -> dict:
+    cfg = CONFIGS[name]
+    batch = cfg.get("batch", BATCH)
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n_traj, n_frames = 8, 32
+    data = jnp.asarray(
+        rng.normal(size=(n_traj, n_frames, NX, NY, CC)).astype(np.float32)
+    )
+    gx, gy = np.meshgrid(
+        np.linspace(-1, 1, NX, dtype=np.float32),
+        np.linspace(-1, 1, NY, dtype=np.float32), indexing="ij",
+    )
+    grid = jnp.asarray(np.stack([gx, gy], -1))
+    K = int(os.environ.get("PROBE_SCAN_K", "200"))
+    chunk = jnp.asarray(
+        np.stack(
+            [rng.integers(0, n_traj, (K, batch)),
+             rng.integers(0, n_frames - T0 - 1, (K, batch))], axis=2
+        ).astype(np.int32)
+    )
+
+    from sciml_pde_tpu.models import FNO2d
+
+    model = FNO2d(num_channels=CC, modes1=MODES, modes2=MODES, width=WIDTH,
+                  initial_step=T0)
+    x0 = jnp.zeros((1, NX, NY, T0, CC), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, grid[None])["params"]
+
+    res = {"config": name, "batch": batch, "scan_k": K,
+           "device": str(jax.devices()[0])}
+
+    if cfg["kind"] == "prod":
+        from sciml_pde_tpu.train.fno_train import build_baseline_step
+        from sciml_pde_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(1e-3, total_steps=10_000)
+        step_fn, _ = build_baseline_step(model, tx, T0, rollout=1)
+        opt_state = tx.init(params)
+        key = jax.random.PRNGKey(0)
+        t0 = time.perf_counter()
+        params, opt_state, losses, _ = step_fn.scan(
+            params, opt_state, data, grid, chunk, key
+        )
+        res["final_loss"] = float(losses[-1])
+        res["compile_s"] = time.perf_counter() - t0
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            params, opt_state, losses, _ = step_fn.scan(
+                params, opt_state, data, grid, chunk, key
+            )
+            float(losses[-1])
+            rates.append(K / (time.perf_counter() - t0))
+    elif cfg["kind"] == "fused":
+        from sciml_pde_tpu.train.fast_step import (
+            build_fast_baseline_step, fast_state_from_tree, init_opt,
+        )
+
+        theta, spec = fast_state_from_tree(params, MODES)
+        _, fscan = build_fast_baseline_step(MODES, T0, spec, 1e-3, 10_000)
+        opt = init_opt(theta)
+        grid2 = jnp.transpose(grid, (2, 0, 1))
+        t0 = time.perf_counter()
+        theta, opt, losses, _ = fscan(theta, opt, data, grid2, chunk)
+        res["final_loss"] = float(losses[-1])
+        res["compile_s"] = time.perf_counter() - t0
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            theta, opt, losses, _ = fscan(theta, opt, data, grid2, chunk)
+            float(losses[-1])
+            rates.append(K / (time.perf_counter() - t0))
+    else:  # fused_fwd: forward-only rollout shape
+        import functools
+
+        from sciml_pde_tpu.ops.fno_fused_step import (
+            fno2d_fused_apply, pack_params,
+        )
+
+        fp = pack_params(params, MODES, MODES)
+        grid2 = jnp.transpose(grid, (2, 0, 1))
+        win = jnp.asarray(
+            rng.normal(size=(batch, T0, CC, NX, NY)).astype(np.float32)
+        )
+
+        @jax.jit
+        def roll(win, fp):
+            def body(w, _):
+                pred = fno2d_fused_apply(w, grid2, fp, MODES, MODES)
+                w = jnp.concatenate([w[:, 1:], pred[:, None]], axis=1)
+                return w, jnp.sum(pred)
+
+            w, s = jax.lax.scan(body, win, None, length=100)
+            return s[-1]
+
+        t0 = time.perf_counter()
+        float(roll(win, fp))
+        res["compile_s"] = time.perf_counter() - t0
+        rates = []
+        K = 100
+        res["scan_k"] = K
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(roll(win, fp))
+            rates.append(K / (time.perf_counter() - t0))
+
+    res["steps_per_sec"] = float(np.median(rates))
+    res["steps_per_sec_windows"] = [round(r, 1) for r in rates]
+    res["step_ms"] = 1000.0 / res["steps_per_sec"]
+    return res
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None, help="run ONE config (subprocess mode)")
+    p.add_argument("--timeout", type=int, default=420, help="per-config budget")
+    p.add_argument("--configs", default=",".join(CONFIGS))
+    a = p.parse_args(argv)
+
+    if a.config:
+        env_prec = CONFIGS[a.config]["prec"]
+        os.environ["SCIML_DFT_PRECISION"] = env_prec
+        from sciml_pde_tpu.ops.spectral import set_dft_precision
+
+        set_dft_precision(env_prec)
+        res = run_one(a.config)
+        print("PROBE_RESULT " + json.dumps(res), flush=True)
+        return
+
+    results = {}
+    for name in a.configs.split(","):
+        cmd = [sys.executable, __file__, "--config", name]
+        t0 = time.time()
+        try:
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=a.timeout,
+                env={**os.environ,
+                     "SCIML_DFT_PRECISION": CONFIGS[name]["prec"],
+                     "PYTHONPATH": _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")},
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("PROBE_RESULT ")]
+            if line:
+                results[name] = json.loads(line[-1][len("PROBE_RESULT "):])
+            else:
+                tail = (out.stderr or out.stdout or "")[-2000:]
+                results[name] = {"config": name, "error": f"rc={out.returncode}",
+                                 "tail": tail}
+        except subprocess.TimeoutExpired:
+            results[name] = {"config": name, "error": "timeout"}
+        results[name]["wall_s"] = round(time.time() - t0, 1)
+        print(json.dumps(results[name]), flush=True)
+        OUT.parent.mkdir(parents=True, exist_ok=True)
+        OUT.write_text(json.dumps(results, indent=1))
+    print("probe complete ->", OUT, flush=True)
+
+
+if __name__ == "__main__":
+    main()
