@@ -216,14 +216,34 @@ def unpack_grads(g: FastFNOParams, modes1: int, modes2: int, like_tree):
 # --------------------------------------------------------------------------
 
 
+_INV_SQRT2 = np.float32(1.0 / np.sqrt(2.0))
+
+
+def _erf(x):
+    """erf from exp/mul/add only: Mosaic implements neither erf nor erfc.
+
+    Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7 — below f32 noise
+    for the gelu use): erf(x) = 1 - poly(t) e^{-x^2}, t = 1/(1+px),
+    extended to x<0 by odd symmetry.
+    """
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p_ = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p_ * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu(x):
-    return jax.nn.gelu(x, approximate=False)
+    """Exact (erf) gelu — torch F.gelu default, written via _erf."""
+    return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
 
 
 def _gelu_grad(x):
     """d/dx [x * Phi(x)] = Phi(x) + x * phi(x) (exact/erf gelu)."""
     phi = jnp.exp(-0.5 * x * x) / _SQRT_2PI
-    cdf = 0.5 * (1.0 + jax.lax.erf(x / np.sqrt(2.0).astype(np.float32)))
+    cdf = 0.5 * (1.0 + _erf(x * _INV_SQRT2))
     return cdf + x * phi
 
 
@@ -407,7 +427,10 @@ def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pb_ref,
     h = h_scr[:]
     s, _ = _spectral_fwd_el(h, wmr_ref[0], wmi_ref[0], f)
     p = _dot(pw_ref[0].T, h.reshape(c, -1)).reshape(s.shape)
-    pre = s + p + pb_ref[0][:, None, None]
+    # pb is the FULL (L, O) array (a (1, O) block violates Mosaic's
+    # (8,128)-divisible-or-full block rule on its last two dims); select
+    # the layer row dynamically
+    pre = s + p + pb_ref[i][:, None, None]
     pre_ref[0, 0] = pre
     h_scr[:] = jnp.where(last, pre, _gelu(pre))
 
@@ -524,12 +547,14 @@ def _bb_wgrad_kernel(pre_prev_ref, h0p_ref, dpre_ref, wmr_ref, wmi_ref,
         dwmr_ref[0] = jnp.zeros_like(dwmr_ref[0])
         dwmi_ref[0] = jnp.zeros_like(dwmi_ref[0])
         dpw_ref[0] = jnp.zeros_like(dpw_ref[0])
-        dpb_ref[0] = jnp.zeros_like(dpb_ref[0])
+        # dpb is the FULL (L, O) buffer (block rule, see _bb_fwd_kernel):
+        # zero only this layer's row
+        dpb_ref[layer] = jnp.zeros_like(dpb_ref[layer])
 
     dwmr_ref[0] += dwmr
     dwmi_ref[0] += dwmi
     dpw_ref[0] += dpw
-    dpb_ref[0] += dpb
+    dpb_ref[layer] += dpb
 
 
 # --------------------------------------------------------------------------
@@ -571,8 +596,7 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + p.pw.shape[1:], lambda bb_, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,) + p.pb.shape[1:], lambda bb_, i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        _const_spec(p.pb.shape),
         _const_spec(p.w0t.shape),
         _const_spec(p.b0.shape),
     ] + [_const_spec(a.shape) for a in facs]
@@ -762,8 +786,7 @@ def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, o), lambda l, bb_: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, o), lambda l, bb_: (l, 0),
-                         memory_space=pltpu.VMEM),
+            _const_spec(p.pb.shape),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(p.wmr.shape, jnp.float32),
