@@ -25,6 +25,7 @@ TPU-first design:
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from pathlib import Path
@@ -433,6 +434,7 @@ def run_training(
     dr_leaky_clip: bool = False,  # replicate the reference's [:N] train-list
     # clip incl. the test tail (audit-only; data/dr.py:_load_train_pool)
     resident_rotate_schedule: str = "block",  # block | interleave | cyclic
+    fast_step: bool | None = None,  # fused-Pallas step (None: SCIML_FAST_STEP env)
 ) -> FNOTrainResult:
     """Train a (possibly aux two-head) FNO on the DR dataset family.
 
@@ -474,6 +476,29 @@ def run_training(
             "host_stream either ship pre-upsampled windows (default) or "
             "run the aux stream at native res (aux_native_compute)"
         )
+
+    # fused-Pallas fast path: only the plain 2D FNO baseline single-step
+    # configuration is fused (train/fast_step.py); validate the request
+    # BEFORE any data loading
+    _fast_requested = (
+        fast_step
+        if fast_step is not None
+        else os.environ.get("SCIML_FAST_STEP", "").lower() in ("1", "true")
+    )
+    _fast_compatible = (
+        not if_aux and model_family == "fno"
+        and training_type == "single" and rollout_test == 1
+        and not lie_augment and not shard_store and not host_stream
+        and resident_rotate <= 1 and scheduler == "cosine"
+    )
+    if _fast_requested and not _fast_compatible:
+        if fast_step:  # explicit request for an unsupported configuration
+            raise ValueError(
+                "fast_step=True requires the plain 2D FNO baseline path "
+                "(no aux/3D/autoregressive/lie/shard/stream/rotation, "
+                "rollout_test=1, cosine schedule)"
+            )
+        _fast_requested = False
 
     # host_stream and pool rotation both need the train stores to stay in
     # host RAM after loading (rotation then places one slice on device)
@@ -776,9 +801,51 @@ def run_training(
             lie_augment=lie_augment, train_gather=train_gather,
         )
 
-    opt_state = tx.init(params)
+    # ---- fused-Pallas fast path (train/fast_step.py) --------------------
+    # The whole model fwd/bwd runs inside VMEM and the optimizer is ~12
+    # ops on one flat parameter vector — identical training dynamics
+    # (tests/test_fast_step.py), far fewer/larger ops.  Only the plain 2D
+    # baseline single-step configuration is fused; every other path keeps
+    # the XLA step.  Checkpoints store the flax tree, so eval/rollout and
+    # cross-mode restores keep working (only the optimizer moments are
+    # mode-specific).
+    if _fast_requested and fast_step and is_3d:
+        raise ValueError("fast_step=True supports only the 2D FNO (3D store)")
+    use_fast = _fast_requested and if_training and not is_3d
+    _tree_template = params
+    if use_fast:
+        from sciml_pde_tpu.train import fast_step as _fs
+
+        theta0, _fspec = _fs.fast_state_from_tree(params, modes)
+        _fstep, _ = _fs.build_fast_baseline_step(
+            modes, initial_step, _fspec, learning_rate, total_steps
+        )
+
+        def step_fn(theta, fopt, data, grid, idx, key):  # noqa: ARG001 - key
+            grid2 = jnp.transpose(grid, (2, 0, 1))
+            return _fstep(theta, fopt, data, grid2, idx)
+
+        @jax.jit
+        def val_fn(theta, data, grid, idx):
+            p = _fs.unflatten_params(theta, _fspec)
+            grid2 = jnp.transpose(grid, (2, 0, 1))
+            x, y = _fs.fast_gather(data, idx, initial_step)
+            from sciml_pde_tpu.ops.fno_fused_step import fno2d_fused_apply
+
+            pred = fno2d_fused_apply(x, grid2, p, modes, modes)
+            return _fs.nrmse_loss_cf(pred, y)
+
+        params = theta0
+        opt_state = _fs.init_opt(theta0)
+    else:
+        opt_state = tx.init(params)
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
+
+    def _save_ckpt(path, p, o, ep, val):
+        if use_fast:
+            p = _fs.tree_from_fast_state(p, _fspec, modes, _tree_template)
+        save_checkpoint(path, p, o, ep, val)
 
     ckpt_path = Path(run_dir) / f"{model_name}_ckpt"
 
@@ -839,11 +906,21 @@ def run_training(
     best_val = float(np.inf)
     start_epoch = 0
     if continue_training and ckpt_path.exists():
+        # checkpoints always hold the flax PARAM TREE (so eval and
+        # cross-tooling keep working); in fast mode re-pack it into the
+        # flat vector.  The optimizer moments are mode-specific: a resume
+        # must use the same fast_step setting the run started with.
         restored = restore_checkpoint(
-            ckpt_path, {"params": params, "opt_state": opt_state,
-                        "meta": {"epoch": np.asarray(0), "loss": np.asarray(0.0)}}
+            ckpt_path,
+            {"params": _tree_template if use_fast else params,
+             "opt_state": opt_state,
+             "meta": {"epoch": np.asarray(0), "loss": np.asarray(0.0)}}
         )
-        params = replicate(restored["params"], mesh)
+        if use_fast:
+            theta_r, _ = _fs.fast_state_from_tree(restored["params"], modes)
+            params = replicate(theta_r, mesh)
+        else:
+            params = replicate(restored["params"], mesh)
         opt_state = replicate(restored["opt_state"], mesh)
         start_epoch = int(restored["meta"]["epoch"])
         best_val = float(restored["meta"]["loss"])
@@ -1015,12 +1092,15 @@ def run_training(
                     ep,
                 )
                 if time.time() - last_ckpt_t > ckpt_min_interval_s:
-                    save_checkpoint(ckpt_path, best_state[0], best_state[1], ep, best_val)
+                    _save_ckpt(ckpt_path, best_state[0], best_state[1], ep, best_val)
                     last_ckpt_t = time.time()
                     ckpt_dirty = False
                 else:
                     ckpt_dirty = True
 
     if ckpt_dirty and best_state is not None:
-        save_checkpoint(ckpt_path, best_state[0], best_state[1], best_state[2], best_val)
+        _save_ckpt(ckpt_path, best_state[0], best_state[1], best_state[2], best_val)
+    if use_fast:
+        # hand callers the flax tree (rollout/eval drive model.apply)
+        params = _fs.tree_from_fast_state(params, _fspec, modes, _tree_template)
     return FNOTrainResult(params=params, best_val=best_val, history=history)

@@ -109,3 +109,53 @@ def test_fast_scan_matches_single_steps(setup):
     np.testing.assert_allclose(
         np.asarray(theta_b), np.asarray(theta_a), rtol=1e-4, atol=1e-6
     )
+
+
+def test_run_training_fast_step_matches_slow(tmp_path):
+    """run_training(fast_step=True) must reproduce the slow path's
+    training trajectory on the DR family (same seeds, same batches)."""
+    import h5py
+
+    from sciml_pde_tpu.train.fno_train import run_training
+
+    folder = tmp_path / "data"
+    folder.mkdir()
+    rng = np.random.default_rng(0)
+    with h5py.File(folder / "2D_diff-react_test_all.h5", "w") as f:
+        for s in range(10):
+            g = f.create_group(f"{s:04d}")
+            g.create_dataset(
+                "data", data=rng.normal(size=(12, 16, 16, 2)).astype(np.float32)
+            )
+            gr = g.create_group("grid")
+            gr.create_dataset("x", data=np.linspace(0, 1, 16, dtype=np.float32))
+            gr.create_dataset("y", data=np.linspace(0, 1, 16, dtype=np.float32))
+            gr.create_dataset("t", data=np.linspace(0, 1, 12, dtype=np.float32))
+
+    common = dict(
+        base_path=str(folder) + "/", if_aux=False, train_subsample=(4, 2, 6),
+        modes=4, width=8, initial_step=5, rollout_test=1, num_channels=2,
+        batch_size=4, epochs=2, learning_rate=2e-3, run_dir=str(tmp_path),
+        log_every=0, seed=3,
+    )
+    res_slow = run_training(model_name="fs_slow", fast_step=False, **common)
+    res_fast = run_training(model_name="fs_fast", fast_step=True, **common)
+
+    assert len(res_fast.history) == len(res_slow.history)
+    for hf, hs in zip(res_fast.history, res_slow.history):
+        np.testing.assert_allclose(hf["train_loss"], hs["train_loss"], rtol=3e-3)
+        np.testing.assert_allclose(hf["val_loss"], hs["val_loss"], rtol=3e-3)
+    # returned params are the flax TREE in both modes
+    for path, want in jax.tree_util.tree_leaves_with_path(res_slow.params):
+        have = dict(jax.tree_util.tree_leaves_with_path(res_fast.params))[path]
+        assert have.shape == want.shape
+
+
+def test_run_training_fast_step_rejects_unsupported(tmp_path):
+    from sciml_pde_tpu.train.fno_train import run_training
+
+    with pytest.raises(ValueError, match="fast_step"):
+        run_training(
+            base_path=str(tmp_path), if_aux=False, fast_step=True,
+            training_type="autoregressive", run_dir=str(tmp_path),
+        )
