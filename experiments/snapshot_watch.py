@@ -29,6 +29,8 @@ WATCH = [
     # round-3 additions: v52 queue targets + the lie toy study
     "dr_parity_ds8", "dr_parity_ds32", "dr_transformer", "plume3d_parity",
     "ns_lie_toy",
+    # round-4: the bf16-dft accuracy gate verdict (bench.py reads it)
+    "dft_precision_gate",
 ]
 
 
