@@ -54,6 +54,14 @@ def main(argv=None):
                    help="device dtype of the primary trajectory store "
                         "(bf16 halves the ~3.2 GB 8-trajectory store; "
                         "compute stays fp32 from the window gather on)")
+    p.add_argument("--aux-weight", type=float, default=0.7,
+                   help="aux loss weight (VERDICT r3 #6: 3D aux recipe axis)")
+    p.add_argument("--lr-share", type=float, default=None,
+                   help="override shared-backbone LR (aux recipe axis)")
+    p.add_argument("--lr-heads", type=float, default=None,
+                   help="override head LR (aux recipe axis)")
+    p.add_argument("--tag", default="",
+                   help="suffix for model_name/summary keys (recipe sweeps)")
     p.add_argument("--continue-training", action="store_true")
     p.add_argument("--eval-only", action="store_true")
     p.add_argument("--variants", nargs="+", default=["baseline", "aux"],
@@ -134,16 +142,17 @@ def main(argv=None):
             initial_step=a.initial_step,
             model_family="transformer3d" if is_tf else "fno",
             transformer_kwargs=tf_kwargs if is_tf else None,
-            learning_rate=1.5e-4 if is_tf else 1e-3,
-            learning_rate_share=1.5e-4 if is_tf else 1e-3,
-            learning_rate_fc2=1.5e-4 if is_tf else 1e-3,
+            learning_rate=a.lr_share or (1.5e-4 if is_tf else 1e-3),
+            learning_rate_share=a.lr_share or (1.5e-4 if is_tf else 1e-3),
+            learning_rate_fc2=a.lr_heads or (1.5e-4 if is_tf else 1e-3),
+            auxiliary_weight=a.aux_weight,
             rollout_test=1, batch_size=a.batch_size, epochs=a.epochs,
             host_stream=a.host_stream,
             aux_store_dtype=(None if a.aux_store_dtype == "f32" else a.aux_store_dtype),
             primary_store_dtype=(None if a.primary_store_dtype == "f32"
                                  else a.primary_store_dtype),
             fno_remat=a.remat,
-            run_dir=str(out), model_name=f"plume_{variant}", log_every=200,
+            run_dir=str(out), model_name=f"plume_{variant}{('_' + a.tag) if a.tag else ''}", log_every=200,
             continue_training=a.continue_training or a.eval_only,
             if_training=not a.eval_only,
         )
@@ -165,7 +174,9 @@ def main(argv=None):
             # evaluate_rollout device_puts only the 15 frames it needs
             to_device=False,
         )
-        params, best_val = restore_params(out / f"plume_{variant}_ckpt")
+        params, best_val = restore_params(
+            out / f"plume_{variant}{('_' + a.tag) if a.tag else ''}_ckpt"
+        )
         if is_tf:
             from sciml_pde_tpu.models.transformer3d import (
                 Transformer3DAux,
@@ -202,10 +213,13 @@ def main(argv=None):
             study[k] = m["nRMSE"]
             print(f"rollout {k}: nRMSE={m['nRMSE']:.6f}", flush=True)
 
-        results[variant] = {
+        results[variant + (("_" + a.tag) if a.tag else "")] = {
             "best_val": float(best_val),
             "train_seconds": train_s,
             "rollout_nrmse": [study[k] for k in sorted(study)],
+            "aux_weight": a.aux_weight,
+            "lr_share": a.lr_share, "lr_heads": a.lr_heads,
+            "n_aux_per": a.n_aux_per,
         }
         summary_path.write_text(json.dumps(results, indent=1))
     print(json.dumps(results, indent=1), flush=True)
