@@ -36,6 +36,9 @@ def main(argv=None):
                    help="training seed; the reference sweeps {16, 99, 17} "
                         "(run_forward_rd.sh) and its published table may be "
                         "a seed aggregate — vary this to measure the spread")
+    p.add_argument("--fast-step", action="store_true",
+                   help="fused-Pallas trainer path for the baseline variant "
+                        "(train/fast_step.py; aux keeps the XLA step)")
     p.add_argument("--leaky-clip", action="store_true",
                    help="AUDIT ONLY: replicate the reference baseline "
                         "loader's sorted(keys)[:N] train list, which on a "
@@ -68,6 +71,8 @@ def main(argv=None):
         )
         if a.seed is not None:
             cfg["seed"] = a.seed
+        if a.fast_step and variant == "baseline":
+            cfg["fast_step"] = True
         primary_n = cfg["train_subsample"][0 if variant == "baseline" else 1]
         if primary_n > 90 and not a.leaky_clip:
             # the primary file holds 90 train seeds; ds128+ extends the
