@@ -1,5 +1,13 @@
 """Fused FNO layer as one Pallas kernel (round-4 perf track, v1).
 
+SUPERSEDED by ``ops/fno_fused_step.py`` (round 4): the whole-model fused
+forward+backward with a hand-derived VJP, channels-first layout, and the
+SCIML_DFT_PRECISION knob threaded into the dot inputs (the ADVICE r3
+finding against this file — v1 is exact-f32 ONLY and its backward
+re-runs the XLA chain).  v1 is kept as the layer-granular reference
+kernel with its value/grad tests; new work should target the fused-step
+module.
+
 Motivation (PERFORMANCE.md round-3 honest profile): one dft2 spectral
 conv costs 69.6 us and the adjacent 1x1conv+gelu 19.0 us at the flagship
 shape, while the pure padded-matmul content is ~5-25 us — the difference
