@@ -135,6 +135,23 @@ class Emitter:
         if not self.persist:
             return
         try:
+            # Regression guard (ADVICE r4): "last good" is the fallback the
+            # driver replays when a future run measures nothing — one
+            # contended-chip run must not replace a healthy snapshot with an
+            # 8x-degraded number.  Persist only if the new headline is at
+            # least half the recorded one (or there is no record).  The
+            # honest current measurement is still emitted to stdout above;
+            # only the durable fallback is protected.
+            try:
+                prev = json.loads(_LAST_GOOD.read_text())["headline"]["value"]
+            except (OSError, ValueError, KeyError, TypeError):
+                prev = None
+            if prev is not None and head["value"] < 0.5 * prev:
+                _log(
+                    f"last-good NOT updated: {head['value']:.1f} < 50% of "
+                    f"recorded {prev:.1f} (likely contended run)"
+                )
+                return
             _RESULTS_DIR.mkdir(parents=True, exist_ok=True)
             tmp = _LAST_GOOD.with_suffix(".tmp")
             tmp.write_text(
@@ -234,25 +251,36 @@ def main():
     from sciml_pde_tpu.train.fno_train import build_baseline_step
     from sciml_pde_tpu.train.optim import make_optimizer
 
-    # bf16 spectral contractions are adopted ONLY when the committed
-    # accuracy gate (experiments/dft_precision_gate.py: train twice,
-    # compare rollout tables) has PASSED on this machine; otherwise the
-    # exact-f32 default stands.  SCIML_DFT_PRECISION still overrides.
+    # bf16 spectral contractions are the SHIPPED default (ops/spectral.py:
+    # the round-4 accuracy gate PASSED — committed evidence in
+    # experiments/results/dft_precision_gate_summary_auto.json).  Here we
+    # only (a) record the gate provenance in the details and (b) demote
+    # back to exact f32 if a LOCAL re-run of the gate explicitly FAILED.
+    # All required keys are validated BEFORE any precision change so a
+    # malformed summary cannot flip precision without a record (ADVICE r4).
     gate_file = pathlib.Path(__file__).parent / "runs" / "dft_precision_gate" / "summary.json"
     if "SCIML_DFT_PRECISION" not in os.environ:
         try:
             gate = json.loads(gate_file.read_text())
-            if gate.get("verdict") == "PASS":
+            verdict = gate["verdict"]
+            max_deg = max(gate["relative_degradation_r1_5"])
+        except (OSError, ValueError, KeyError, TypeError):
+            emitter.details["dft_precision"] = (
+                "default (shipped default; committed r4 gate PASS)"
+            )
+        else:
+            if verdict == "PASS":
+                emitter.details["dft_precision"] = (
+                    f"default (gate PASS, max degradation {max_deg*100:.2f}%)"
+                )
+            else:
                 from sciml_pde_tpu.ops.spectral import set_dft_precision
 
-                set_dft_precision("default")
+                set_dft_precision("highest")
                 emitter.details["dft_precision"] = (
-                    f"default (gate PASS, max degradation "
-                    f"{max(gate['relative_degradation_r1_5'])*100:.2f}%)"
+                    f"highest (local gate verdict {verdict!r} — bf16 demoted)"
                 )
-                _log("bf16-dft adopted (accuracy gate PASS)")
-        except (OSError, ValueError, KeyError):
-            pass
+                _log("bf16-dft demoted to f32 (local gate verdict %r)" % verdict)
 
     mesh = make_mesh()
     rng = np.random.default_rng(0)

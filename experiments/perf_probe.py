@@ -1,14 +1,23 @@
-"""Round-4 chip probe: fused-Pallas step vs production step, f32 vs bf16.
+"""Round-5 chip probe: fused-Pallas step vs production step, f32 vs bf16.
 
-One bounded run (queue item) that measures every round-4 perf candidate
-on the real chip and writes ``experiments/results/perf_probe_r4.json``.
-Each config runs in its OWN SUBPROCESS with a timeout so a Mosaic compile
-failure or a tunnel wedge on one variant cannot cost the others (the
-fused kernels have never been compiled on real TPU before this probe).
+One bounded run (queue item) that measures every perf candidate on the
+real chip and writes ``experiments/results/perf_probe_r5.json``.  Each
+config runs in its OWN SUBPROCESS with a timeout so a Mosaic compile
+failure or a tunnel wedge on one variant cannot cost the others.
+
+Round-5 changes (VERDICT r4 #1/#8):
+  - per-config timeout raised 420 -> 900 s (observed compile alone was
+    174 s; the r4 probe lost its control arm to the tight budget);
+  - control arm (prod_f32) always runs FIRST;
+  - iso_* configs run each of the five pallas_calls in ISOLATION to
+    bisect exactly which kernel trips Mosaic, before the full step.
 
 Configs (flagship shape: batch 4, 128^2, width 20, modes 12, t0 10):
-  prod_f32      production scan step (baseline; should match BENCH_r03)
+  prod_f32      production scan step (control; should match BENCH_r04)
   prod_bf16     production step, SCIML_DFT_PRECISION=default
+  iso_bbfwd     _bb_forward alone          iso_headfwd  _head_forward
+  iso_headbwd   _head_backward alone       iso_bbbwd    _bb_backward
+  iso_wgrad     _bb_weight_grads alone
   fused_f32     fused Pallas step (ops/fno_fused_step.py)
   fused_bf16    fused step with bf16 dot inputs
   fused_fwd     fused forward only (rollout shape), scan of 100
@@ -37,11 +46,16 @@ if _REPO not in sys.path:  # subprocess mode must not depend on PYTHONPATH
 
 BATCH, NX, NY, T0, CC = 4, 128, 128, 10, 2
 MODES, WIDTH = 12, 20
-OUT = pathlib.Path(__file__).parent / "results" / "perf_probe_r4.json"
+OUT = pathlib.Path(__file__).parent / "results" / "perf_probe_r5.json"
 
 CONFIGS = {
     "prod_f32": {"kind": "prod", "prec": "highest"},
     "prod_bf16": {"kind": "prod", "prec": "default"},
+    "iso_bbfwd": {"kind": "iso", "prec": "highest", "which": "bbfwd"},
+    "iso_headfwd": {"kind": "iso", "prec": "highest", "which": "headfwd"},
+    "iso_headbwd": {"kind": "iso", "prec": "highest", "which": "headbwd"},
+    "iso_bbbwd": {"kind": "iso", "prec": "highest", "which": "bbbwd"},
+    "iso_wgrad": {"kind": "iso", "prec": "highest", "which": "wgrad"},
     "fused_f32": {"kind": "fused", "prec": "highest"},
     "fused_bf16": {"kind": "fused", "prec": "default"},
     "fused_fwd": {"kind": "fused_fwd", "prec": "highest"},
@@ -124,6 +138,63 @@ def run_one(name: str) -> dict:
             theta, opt, losses, _ = fscan(theta, opt, data, grid2, chunk)
             float(losses[-1])
             rates.append(K / (time.perf_counter() - t0))
+    elif cfg["kind"] == "iso":
+        # one pallas_call in isolation: bisects a Mosaic lowering failure
+        # to the exact kernel (each iso config is its own subprocess)
+        from sciml_pde_tpu.ops import fno_fused_step as ffs
+
+        fp = ffs.pack_params(params, MODES, MODES)
+        grid2 = jnp.transpose(grid, (2, 0, 1))
+        pad = 2
+        hp, wp = NX + pad, NY + pad
+        win = jnp.asarray(
+            rng.normal(size=(batch, T0, CC, NX, NY)).astype(np.float32)
+        )
+        bbout = jnp.asarray(
+            rng.normal(size=(batch, WIDTH, NX, NY)).astype(np.float32)
+        )
+        stats = jnp.concatenate(
+            [jnp.zeros((batch, CC, 1)), jnp.ones((batch, CC, 1))], axis=2
+        )
+        pre = jnp.asarray(rng.normal(
+            size=(batch, ffs.L_LAYERS, WIDTH, hp, wp)).astype(np.float32))
+        h0p = jnp.asarray(
+            rng.normal(size=(batch, WIDTH, hp, wp)).astype(np.float32))
+        dpred = jnp.asarray(
+            rng.normal(size=(batch, CC, NX, NY)).astype(np.float32))
+
+        which = cfg["which"]
+        if which == "bbfwd":
+            fn = jax.jit(lambda w: ffs._bb_forward(
+                w, grid2, fp, MODES, MODES, pad)[1])
+            arg = win
+        elif which == "headfwd":
+            fn = jax.jit(lambda bb: ffs._head_forward(bb, stats, fp))
+            arg = bbout
+        elif which == "headbwd":
+            fn = jax.jit(lambda dp: ffs._head_backward(
+                dp, bbout, stats, fp)[0])
+            arg = dpred
+        elif which == "bbbwd":
+            fn = jax.jit(lambda db: ffs._bb_backward(
+                db, pre, win, grid2, stats, fp, MODES, MODES, pad)[0])
+            arg = bbout
+        else:  # wgrad
+            fn = jax.jit(lambda dp: ffs._bb_weight_grads(
+                pre, h0p, dp, fp, MODES, MODES)[0])
+            arg = pre
+        t0 = time.perf_counter()
+        out0 = fn(arg)
+        first = float(jnp.sum(out0))
+        res["compile_s"] = time.perf_counter() - t0
+        res["finite"] = bool(np.isfinite(first))
+        rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _k in range(20):
+                out0 = fn(arg)
+            float(jnp.sum(out0))
+            rates.append(20 / (time.perf_counter() - t0))
     else:  # fused_fwd: forward-only rollout shape
         import functools
 
@@ -167,7 +238,7 @@ def run_one(name: str) -> dict:
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None, help="run ONE config (subprocess mode)")
-    p.add_argument("--timeout", type=int, default=420, help="per-config budget")
+    p.add_argument("--timeout", type=int, default=900, help="per-config budget")
     p.add_argument("--configs", default=",".join(CONFIGS))
     a = p.parse_args(argv)
 

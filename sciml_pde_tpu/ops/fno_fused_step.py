@@ -341,24 +341,34 @@ def _layer_wgrad_el(h, dpre, wmr, wmi, f):
     dwmr = brm[:, None, :] * dcr[None, :, :] + bim[:, None, :] * dci[None, :, :]
     dwmi = -bim[:, None, :] * dcr[None, :, :] + brm[:, None, :] * dci[None, :, :]
     dpw = _dot(h.reshape(c, -1), dpre.reshape(o, -1).T)
-    dpb = jnp.sum(dpre, axis=(1, 2))
+    # (O, 1) column, reduced in two rank-preserving stages (a flat
+    # axis=(1,2) reduce would create the forbidden rank-1 result)
+    dpb = jnp.sum(jnp.sum(dpre, axis=2), axis=1, keepdims=True)
     return dwmr, dwmi, dpw, dpb
 
 
 def _stats_el(x5):
-    """Instance-norm stats for one element: x5 (T, Cc, X, Y) -> (mean, std)
-    per physical channel Cc, unbiased over (T, X, Y) + 1e-7 (fno.py:139)."""
+    """Instance-norm stats for one element: x5 (T, Cc, X, Y) ->
+    (mean, std) each of shape (1, Cc, 1, 1) — per physical channel Cc,
+    unbiased over (T, X, Y) + 1e-7 (fno.py:139).
+
+    keepdims everywhere: Mosaic assigns every intermediate a >=2D layout,
+    and a rank-1 array aborts lowering with ``Check failed: arr.size() >=
+    layout_rank`` (the round-4 on-chip crash, perf_probe_r4.json) — so no
+    rank-1 value may ever exist inside a kernel body.
+    """
     n = x5.shape[0] * x5.shape[2] * x5.shape[3]
-    mean = jnp.mean(x5, axis=(0, 2, 3))
-    var = jnp.sum((x5 - mean[None, :, None, None]) ** 2, axis=(0, 2, 3)) / (n - 1)
+    mean = jnp.mean(x5, axis=(0, 2, 3), keepdims=True)
+    var = jnp.sum((x5 - mean) ** 2, axis=(0, 2, 3), keepdims=True) / (n - 1)
     return mean, jnp.sqrt(var) + 1e-7
 
 
 def _prep_el(x5, grid2, mean, std):
     """Normalize + flatten (t-major feature order, matching the reference
-    reshape B,X,Y,T*C) + append grid channels: -> (F=T*Cc+G, X, Y)."""
+    reshape B,X,Y,T*C) + append grid channels: -> (F=T*Cc+G, X, Y).
+    mean/std are the (1, Cc, 1, 1) keepdims stats of ``_stats_el``."""
     t, cc, xx, yy = x5.shape
-    xn = (x5 - mean[None, :, None, None]) / std[None, :, None, None]
+    xn = (x5 - mean) / std
     return jnp.concatenate([xn.reshape(t * cc, xx, yy), grid2], axis=0)
 
 
@@ -381,7 +391,7 @@ def fno2d_fused_reference(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
     c = p.w0t.shape[0]
 
     def one(x5):
-        mean, std = _stats_el(x5)
+        mean, std = _stats_el(x5)  # (1, Cc, 1, 1) keepdims stats
         mean, std = jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
         inp = _prep_el(x5, grid2, mean, std)
         h0 = (_dot(p.w0t, inp.reshape(inp.shape[0], -1)) + p.b0[:, None]).reshape(c, xx, yy)
@@ -392,7 +402,7 @@ def fno2d_fused_reference(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
         bb = h[:, :xx, :yy]
         t1 = _gelu(_dot(p.w1t, bb.reshape(c, -1)) + p.b1[:, None])
         outn = (_dot(p.w2t, t1) + p.b2[:, None]).reshape(-1, xx, yy)
-        return outn * std[:, None, None] + mean[:, None, None]
+        return outn * std[0] + mean[0]  # (Cc,1,1) broadcast over (Cc,X,Y)
 
     return jax.vmap(one)(win)
 
@@ -402,7 +412,7 @@ def fno2d_fused_reference(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
 # --------------------------------------------------------------------------
 
 
-def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pb_ref,
+def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pbt_ref,
                    w0t_ref, b0_ref, facs_refs, pre_ref, bbout_ref, stats_ref,
                    h0p_ref, h_scr):
     i = pl.program_id(1)
@@ -413,12 +423,15 @@ def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pb_ref,
     @pl.when(i == 0)
     def _():
         x5 = win_ref[0]
-        mean, std = _stats_el(x5)
-        stats_ref[0, 0] = mean
-        stats_ref[0, 1] = std
+        mean, std = _stats_el(x5)  # (1, Cc, 1, 1) each
+        # stats layout (Cc, 2): mean column 0, std column 1 — the shape
+        # the head kernels consume directly as (Cc, 1) columns
+        stats_ref[0] = jnp.concatenate(
+            [mean[0, :, :, 0], std[0, :, :, 0]], axis=1
+        )
         inp = _prep_el(x5, grid_ref[:], mean, std)
         h0 = (_dot(w0t_ref[:], inp.reshape(inp.shape[0], -1))
-              + b0_ref[:][:, None]).reshape(c, xx, yy)
+              + b0_ref[:]).reshape(c, xx, yy)  # b0 is a (C, 1) column
         h_scr[:] = jnp.zeros((c, hp, wp), jnp.float32)
         h_scr[:, :xx, :yy] = h0
         h0p_ref[0] = h_scr[:]
@@ -427,10 +440,11 @@ def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pb_ref,
     h = h_scr[:]
     s, _ = _spectral_fwd_el(h, wmr_ref[0], wmi_ref[0], f)
     p = _dot(pw_ref[0].T, h.reshape(c, -1)).reshape(s.shape)
-    # pb is the FULL (L, O) array (a (1, O) block violates Mosaic's
-    # (8,128)-divisible-or-full block rule on its last two dims); select
-    # the layer row dynamically
-    pre = s + p + pb_ref[i][:, None, None]
+    # pb ships TRANSPOSED as the full (O, L) array — a (1, O) block of
+    # (L, O) violates Mosaic's (8,128)-divisible-or-full block rule, and
+    # a row read pb[i] would be the forbidden rank-1; the column select
+    # keeps everything rank-2
+    pre = s + p + pbt_ref[:, pl.ds(i, 1)][:, :, None]
     pre_ref[0, 0] = pre
     h_scr[:] = jnp.where(last, pre, _gelu(pre))
 
@@ -446,14 +460,14 @@ def _head_fwd_kernel(bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
     hw = xx * yy
     ck = hw // n_chunks
     bb = bb_ref[0].reshape(c, hw)
-    mean = stats_ref[0, 0, :]
-    std = stats_ref[0, 1, :]
-    co = pred_ref.shape[1]
+    st = stats_ref[0]        # (Cc, 2)
+    mean = st[:, 0:1]        # (Cc, 1) columns — never rank-1
+    std = st[:, 1:2]
     for j in range(n_chunks):
         sl = slice(j * ck, (j + 1) * ck)
-        t1 = _gelu(_dot(w1t_ref[:], bb[:, sl]) + b1_ref[:][:, None])
-        outn = _dot(w2t_ref[:], t1) + b2_ref[:][:, None]
-        pred_ref[0, :, sl] = outn * std[:, None] + mean[:, None]
+        t1 = _gelu(_dot(w1t_ref[:], bb[:, sl]) + b1_ref[:])   # b1 (H, 1)
+        outn = _dot(w2t_ref[:], t1) + b2_ref[:]               # b2 (Co, 1)
+        pred_ref[0, :, sl] = outn * std + mean
 
 
 def _head_bwd_kernel(dpred_ref, bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref,
@@ -465,9 +479,9 @@ def _head_bwd_kernel(dpred_ref, bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref,
     hw = xx * yy
     ck = hw // n_chunks
     bb = bb_ref[0].reshape(c, hw)
-    std = stats_ref[0, 1, :]
+    std = stats_ref[0][:, 1:2]  # (Co, 1) column
     co = dpred_ref.shape[1]
-    dpred = dpred_ref[0].reshape(co, hw) * std[:, None]
+    dpred = dpred_ref[0].reshape(co, hw) * std
 
     @pl.when(b == 0)
     def _():
@@ -479,15 +493,15 @@ def _head_bwd_kernel(dpred_ref, bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref,
     for j in range(n_chunks):
         sl = slice(j * ck, (j + 1) * ck)
         bbc = bb[:, sl]
-        pre1 = _dot(w1t_ref[:], bbc) + b1_ref[:][:, None]
+        pre1 = _dot(w1t_ref[:], bbc) + b1_ref[:]  # b1 (H, 1) column
         t1 = _gelu(pre1)
         dout = dpred[:, sl]
         dw2t_ref[:] += _dot(dout, t1.T)
-        db2_ref[:] += jnp.sum(dout, axis=1)
+        db2_ref[:] += jnp.sum(dout, axis=1, keepdims=True)   # (Co, 1)
         dt1 = _dot(w2t_ref[:].T, dout)
         dpre1 = dt1 * _gelu_grad(pre1)
         dw1t_ref[:] += _dot(dpre1, bbc.T)
-        db1_ref[:] += jnp.sum(dpre1, axis=1)
+        db1_ref[:] += jnp.sum(dpre1, axis=1, keepdims=True)  # (H, 1)
         dbb_ref[0, :, sl] = _dot(w1t_ref[:].T, dpre1)
 
 
@@ -518,8 +532,9 @@ def _bb_bwd_kernel(dbb_ref, pre_ref, win_ref, grid_ref, stats_ref,
     def _():
         # dh is now the cotangent of the padded fc0 output
         dh0 = dh_scr[:, :xx, :yy].reshape(c, xx * yy)
-        mean = stats_ref[0, 0, :]
-        std = stats_ref[0, 1, :]
+        st = stats_ref[0]                      # (Cc, 2)
+        mean = st[:, 0:1][None, :, :, None]    # back to (1, Cc, 1, 1)
+        std = st[:, 1:2][None, :, :, None]
         inp = _prep_el(win_ref[0], grid_ref[:], mean, std)
         finp = inp.reshape(inp.shape[0], -1)
 
@@ -529,11 +544,11 @@ def _bb_bwd_kernel(dbb_ref, pre_ref, win_ref, grid_ref, stats_ref,
             db0_ref[:] = jnp.zeros_like(db0_ref)
 
         dw0t_ref[:] += _dot(dh0, finp.T)
-        db0_ref[:] += jnp.sum(dh0, axis=1)
+        db0_ref[:] += jnp.sum(dh0, axis=1, keepdims=True)  # (C, 1)
 
 
 def _bb_wgrad_kernel(pre_prev_ref, h0p_ref, dpre_ref, wmr_ref, wmi_ref,
-                     facs_refs, dwmr_ref, dwmi_ref, dpw_ref, dpb_ref):
+                     facs_refs, dwmr_ref, dwmi_ref, dpw_ref, dpbt_ref):
     layer = pl.program_id(0)
     b = pl.program_id(1)
     f = SpectralFactors(*(r[:] for r in facs_refs))
@@ -547,14 +562,15 @@ def _bb_wgrad_kernel(pre_prev_ref, h0p_ref, dpre_ref, wmr_ref, wmi_ref,
         dwmr_ref[0] = jnp.zeros_like(dwmr_ref[0])
         dwmi_ref[0] = jnp.zeros_like(dwmi_ref[0])
         dpw_ref[0] = jnp.zeros_like(dpw_ref[0])
-        # dpb is the FULL (L, O) buffer (block rule, see _bb_fwd_kernel):
-        # zero only this layer's row
-        dpb_ref[layer] = jnp.zeros_like(dpb_ref[layer])
+        # dpb accumulates in the FULL (O, L) transposed buffer (block
+        # rule + rank-2 column select, see _bb_fwd_kernel): zero only
+        # this layer's column
+        dpbt_ref[:, pl.ds(layer, 1)] = jnp.zeros_like(dpb)
 
     dwmr_ref[0] += dwmr
     dwmi_ref[0] += dwmi
     dpw_ref[0] += dpw
-    dpb_ref[layer] += dpb
+    dpbt_ref[:, pl.ds(layer, 1)] += dpb
 
 
 # --------------------------------------------------------------------------
@@ -579,11 +595,11 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
     n_facs = len(facs)
 
     def kernel(*refs):
-        win_r, grid_r, wmr_r, wmi_r, pw_r, pb_r, w0t_r, b0_r = refs[:8]
+        win_r, grid_r, wmr_r, wmi_r, pw_r, pbt_r, w0t_r, b0_r = refs[:8]
         f_rs = refs[8:8 + n_facs]
         pre_r, bbout_r, stats_r, h0p_r = refs[8 + n_facs:8 + n_facs + 4]
         h_scr = refs[-1]
-        _bb_fwd_kernel(win_r, grid_r, wmr_r, wmi_r, pw_r, pb_r, w0t_r, b0_r,
+        _bb_fwd_kernel(win_r, grid_r, wmr_r, wmi_r, pw_r, pbt_r, w0t_r, b0_r,
                        f_rs, pre_r, bbout_r, stats_r, h0p_r, h_scr)
 
     in_specs = [
@@ -596,14 +612,14 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + p.pw.shape[1:], lambda bb_, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        _const_spec(p.pb.shape),
+        _const_spec((p.pb.shape[1], L_LAYERS)),  # pb TRANSPOSED (O, L)
         _const_spec(p.w0t.shape),
-        _const_spec(p.b0.shape),
+        _const_spec((p.b0.shape[0], 1)),         # b0 as (C, 1) column
     ] + [_const_spec(a.shape) for a in facs]
     out_shape = [
         jax.ShapeDtypeStruct((b, L_LAYERS, c, hp, wp), jnp.float32),  # pre
         jax.ShapeDtypeStruct((b, 1, c, xx, yy), jnp.float32),         # bbout
-        jax.ShapeDtypeStruct((b, 2, cc), jnp.float32),                # stats
+        jax.ShapeDtypeStruct((b, cc, 2), jnp.float32),                # stats
         jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),            # h0p
     ]
     out_specs = [
@@ -611,7 +627,7 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, c, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 2, cc), lambda bb_, i: (bb_, 0, 0),
+        pl.BlockSpec((1, cc, 2), lambda bb_, i: (bb_, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, c, hp, wp), lambda bb_, i: (bb_, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -624,13 +640,18 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((c, hp, wp), jnp.float32)],
         interpret=_use_interpret(),
-    )(win, grid2, p.wmr, p.wmi, p.pw, p.pb, p.w0t, p.b0, *facs)
+    )(win, grid2, p.wmr, p.wmi, p.pw, p.pb.T, p.w0t, p.b0[:, None], *facs)
     return pre, bbout[:, 0], stats, h0p
 
 
 def _head_forward(bbout, stats, p: FastFNOParams, n_chunks=4):
     b, c, xx, yy = bbout.shape
     co = p.w2t.shape[0]
+    if (xx * yy) % n_chunks:  # ADVICE r4: fail loud, not silent tail drop
+        raise ValueError(
+            f"head kernels chunk the {xx}x{yy} spatial axis into "
+            f"{n_chunks} slices; {xx * yy} % {n_chunks} != 0"
+        )
     kernel = functools.partial(_head_fwd_kernel, n_chunks=n_chunks)
     return pl.pallas_call(
         kernel,
@@ -638,24 +659,30 @@ def _head_forward(bbout, stats, p: FastFNOParams, n_chunks=4):
         in_specs=[
             pl.BlockSpec((1, c, xx, yy), lambda bb_: (bb_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, stats.shape[-1]), lambda bb_: (bb_, 0, 0),
+            pl.BlockSpec((1,) + stats.shape[1:], lambda bb_: (bb_, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(p.w1t.shape),
-            _const_spec(p.b1.shape),
+            _const_spec((p.b1.shape[0], 1)),
             _const_spec(p.w2t.shape),
-            _const_spec(p.b2.shape),
+            _const_spec((p.b2.shape[0], 1)),
         ],
         out_specs=pl.BlockSpec((1, co, xx * yy), lambda bb_: (bb_, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, co, xx * yy), jnp.float32),
         interpret=_use_interpret(),
-    )(bbout, stats, p.w1t, p.b1, p.w2t, p.b2).reshape(b, co, xx, yy)
+    )(bbout, stats, p.w1t, p.b1[:, None], p.w2t, p.b2[:, None]).reshape(
+        b, co, xx, yy)
 
 
 def _head_backward(dpred, bbout, stats, p: FastFNOParams, n_chunks=4):
     b, c, xx, yy = bbout.shape
     co = dpred.shape[1]
     nh = p.w1t.shape[0]
+    if (xx * yy) % n_chunks:  # ADVICE r4: fail loud, not silent tail drop
+        raise ValueError(
+            f"head kernels chunk the {xx}x{yy} spatial axis into "
+            f"{n_chunks} slices; {xx * yy} % {n_chunks} != 0"
+        )
     kernel = functools.partial(_head_bwd_kernel, n_chunks=n_chunks)
     dbb, dw1t, db1, dw2t, db2 = pl.pallas_call(
         kernel,
@@ -665,30 +692,31 @@ def _head_backward(dpred, bbout, stats, p: FastFNOParams, n_chunks=4):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, xx, yy), lambda bb_: (bb_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, stats.shape[-1]), lambda bb_: (bb_, 0, 0),
+            pl.BlockSpec((1,) + stats.shape[1:], lambda bb_: (bb_, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(p.w1t.shape),
-            _const_spec(p.b1.shape),
+            _const_spec((nh, 1)),
             _const_spec(p.w2t.shape),
         ],
         out_specs=[
             pl.BlockSpec((1, c, xx * yy), lambda bb_: (bb_, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(p.w1t.shape),
-            _const_spec(p.b1.shape),
+            _const_spec((nh, 1)),
             _const_spec(p.w2t.shape),
-            _const_spec(p.b2.shape),
+            _const_spec((co, 1)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, c, xx * yy), jnp.float32),
             jax.ShapeDtypeStruct(p.w1t.shape, jnp.float32),
-            jax.ShapeDtypeStruct(p.b1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nh, 1), jnp.float32),
             jax.ShapeDtypeStruct(p.w2t.shape, jnp.float32),
-            jax.ShapeDtypeStruct(p.b2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
         ],
         interpret=_use_interpret(),
-    )(dpred.reshape(b, co, xx * yy), bbout, stats, p.w1t, p.b1, p.w2t)
-    return dbb.reshape(b, c, xx, yy), dw1t, db1, dw2t, db2
+    )(dpred.reshape(b, co, xx * yy), bbout, stats, p.w1t, p.b1[:, None],
+      p.w2t)
+    return dbb.reshape(b, c, xx, yy), dw1t, db1[:, 0], dw2t, db2[:, 0]
 
 
 def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
@@ -721,7 +749,7 @@ def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
             pl.BlockSpec((1, t, cc, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(grid2.shape),
-            pl.BlockSpec((1, 2, cc), lambda bb_, i: (bb_, 0, 0),
+            pl.BlockSpec((1, cc, 2), lambda bb_, i: (bb_, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + p.wmr.shape[1:], rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + p.wmi.shape[1:], rev, memory_space=pltpu.VMEM),
@@ -733,17 +761,17 @@ def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
                          lambda bb_, i: (bb_, L_LAYERS - 1 - i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(p.w0t.shape),
-            _const_spec(p.b0.shape),
+            _const_spec((c, 1)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, L_LAYERS, c, hp, wp), jnp.float32),
             jax.ShapeDtypeStruct(p.w0t.shape, jnp.float32),
-            jax.ShapeDtypeStruct(p.b0.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((c, hp, wp), jnp.float32)],
         interpret=_use_interpret(),
     )(dbb[:, None], pre, win, grid2, stats, p.wmr, p.wmi, p.pw, p.w0t, *facs)
-    return dpre, dw0t, db0
+    return dpre, dw0t, db0[:, 0]
 
 
 def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
@@ -757,15 +785,15 @@ def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
     def kernel(*refs):
         pre_prev_r, h0p_r, dpre_r, wmr_r, wmi_r = refs[:5]
         f_rs = refs[5:5 + n_facs]
-        dwmr_r, dwmi_r, dpw_r, dpb_r = refs[5 + n_facs:]
+        dwmr_r, dwmi_r, dpw_r, dpbt_r = refs[5 + n_facs:]
         _bb_wgrad_kernel(pre_prev_r, h0p_r, dpre_r, wmr_r, wmi_r, f_rs,
-                         dwmr_r, dwmi_r, dpw_r, dpb_r)
+                         dwmr_r, dwmi_r, dpw_r, dpbt_r)
 
     # layer l >= 1 reads pre[b, l-1] (its input is gelu of the previous
     # layer's pre-activation); l == 0 loads pre[b, 0] as a dummy and the
     # kernel selects h0p instead
     lsel = lambda l, bb_: (bb_, jnp.maximum(l - 1, 0), 0, 0, 0)
-    dwmr, dwmi, dpw, dpb = pl.pallas_call(
+    dwmr, dwmi, dpw, dpbt = pl.pallas_call(
         kernel,
         grid=(L_LAYERS, b),
         in_specs=[
@@ -786,17 +814,17 @@ def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c, o), lambda l, bb_: (l, 0, 0),
                          memory_space=pltpu.VMEM),
-            _const_spec(p.pb.shape),
+            _const_spec((p.pb.shape[1], L_LAYERS)),  # dpb TRANSPOSED (O, L)
         ],
         out_shape=[
             jax.ShapeDtypeStruct(p.wmr.shape, jnp.float32),
             jax.ShapeDtypeStruct(p.wmi.shape, jnp.float32),
             jax.ShapeDtypeStruct(p.pw.shape, jnp.float32),
-            jax.ShapeDtypeStruct(p.pb.shape, jnp.float32),
+            jax.ShapeDtypeStruct((p.pb.shape[1], L_LAYERS), jnp.float32),
         ],
         interpret=_use_interpret(),
     )(pre, h0p, dpre, p.wmr, p.wmi, *facs)
-    return dwmr, dwmi, dpw, dpb
+    return dwmr, dwmi, dpw, dpbt.T
 
 
 # --------------------------------------------------------------------------

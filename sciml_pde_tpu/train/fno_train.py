@@ -462,6 +462,20 @@ def run_training(
             "resident_rotate is the device-resident pool-rotation lever; "
             "it composes with neither host_stream nor shard_store"
         )
+    if (
+        resident_rotate > 1
+        and resident_rotate_schedule == "interleave"
+        and epochs < 2 * resident_rotate
+    ):
+        # each half-run must visit every slice: with epochs//2 < R the
+        # (ep_h*R)//span map skips the tail slices entirely (ADVICE r4) —
+        # e.g. epochs=6, R=4 never trains slice 3
+        raise ValueError(
+            f"resident_rotate_schedule='interleave' needs epochs >= "
+            f"2*resident_rotate so both half-runs visit every slice "
+            f"(got epochs={epochs}, resident_rotate={resident_rotate}); "
+            f"use schedule='block' or raise epochs"
+        )
     if host_stream and shard_store:
         raise ValueError("host_stream and shard_store are mutually exclusive")
     if host_stream and aux_chunks > 1:
@@ -490,13 +504,21 @@ def run_training(
         and training_type == "single" and rollout_test == 1
         and not lie_augment and not shard_store and not host_stream
         and resident_rotate <= 1 and scheduler == "cosine"
+        # the fused step is a plain jit around pallas_call with no
+        # partitioning rule: on a multi-chip data mesh it would silently
+        # replicate (or fail to compile) against P('data')-sharded batch
+        # indices (ADVICE r4) — single-device only on real TPU.  Off-TPU
+        # the kernels run in interpreter mode where jit auto-gathers the
+        # sharded indices with exact semantics (asserted step-for-step by
+        # tests/test_fast_step.py on the 8-device CPU mesh).
+        and (mesh.shape["data"] == 1 or jax.default_backend() != "tpu")
     )
     if _fast_requested and not _fast_compatible:
         if fast_step:  # explicit request for an unsupported configuration
             raise ValueError(
                 "fast_step=True requires the plain 2D FNO baseline path "
                 "(no aux/3D/autoregressive/lie/shard/stream/rotation, "
-                "rollout_test=1, cosine schedule)"
+                "rollout_test=1, cosine schedule) on a single-device mesh"
             )
         _fast_requested = False
 

@@ -28,6 +28,19 @@ LR, TOTAL = 1e-3, 50
 B = 2
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _exact_precision():
+    """Pin f32 dots: the drop-in-replacement property under test is
+    structural; the shipped bf16 default casts the fused path's dot
+    inputs even on CPU while the XLA production path stays f32 there."""
+    from sciml_pde_tpu.ops import spectral as _spec
+
+    prev = _spec._PRECISION
+    _spec.set_dft_precision("highest")
+    yield
+    _spec._PRECISION = prev
+
+
 @pytest.fixture(scope="module")
 def setup():
     rng = np.random.default_rng(0)

@@ -26,6 +26,19 @@ B, X, Y, T, CC = 2, 16, 16, 3, 2
 WIDTH, MODES = 8, 4
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _exact_precision():
+    """Pin f32 dots: the equivalence under test is structural (kernel vs
+    flax graph), so the shipped bf16 default would only add cast noise to
+    the comparison against the f32 flax path."""
+    from sciml_pde_tpu.ops import spectral as _spec
+
+    prev = _spec._PRECISION
+    _spec.set_dft_precision("highest")
+    yield
+    _spec._PRECISION = prev
+
+
 @pytest.fixture(scope="module")
 def setup():
     rng = np.random.default_rng(0)
