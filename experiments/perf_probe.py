@@ -46,6 +46,11 @@ if _REPO not in sys.path:  # subprocess mode must not depend on PYTHONPATH
 
 BATCH, NX, NY, T0, CC = 4, 128, 128, 10, 2
 MODES, WIDTH = 12, 20
+# CPU smoke override (the interpreter at the flagship shape takes many
+# minutes per call): PROBE_NX=16 PROBE_MODES=4 shrink the geometry to
+# validate the probe's own plumbing; chip runs use the real shape.
+NX = NY = int(os.environ.get("PROBE_NX", NX))
+MODES = int(os.environ.get("PROBE_MODES", MODES))
 OUT = pathlib.Path(__file__).parent / "results" / "perf_probe_r5.json"
 
 CONFIGS = {
@@ -67,6 +72,13 @@ def run_one(name: str) -> dict:
     cfg = CONFIGS[name]
     batch = cfg.get("batch", BATCH)
     import jax
+
+    if os.environ.get("PROBE_CPU"):
+        # env JAX_PLATFORMS alone is NOT enough: sitecustomize re-registers
+        # the axon TPU plugin via config.update (ROADMAP backend quirk) —
+        # a CPU smoke of the probe plumbing must never touch the (likely
+        # claimed) chip
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
@@ -188,13 +200,14 @@ def run_one(name: str) -> dict:
         first = float(jnp.sum(out0))
         res["compile_s"] = time.perf_counter() - t0
         res["finite"] = bool(np.isfinite(first))
+        iters = int(os.environ.get("PROBE_ITERS", "20"))
         rates = []
         for _ in range(3):
             t0 = time.perf_counter()
-            for _k in range(20):
+            for _k in range(iters):
                 out0 = fn(arg)
             float(jnp.sum(out0))
-            rates.append(20 / (time.perf_counter() - t0))
+            rates.append(iters / (time.perf_counter() - t0))
     else:  # fused_fwd: forward-only rollout shape
         import functools
 
