@@ -340,6 +340,11 @@ def main():
             "n_devices": len(jax.devices()),
             "batch": BATCH,
             "h100_bound_steps_per_sec": h100_bound,
+            "vs_baseline_denominator": (
+                "analytic H100 launch-bound estimate "
+                "(experiments/torch_baseline.py; no H100 on this host) — "
+                "torch_cpu_steps_per_sec is the only measured torch datum"
+            ),
             "torch_cpu_steps_per_sec": torch_cpu,
             "deadline_s": deadline_s,
         }

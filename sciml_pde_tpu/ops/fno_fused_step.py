@@ -441,10 +441,17 @@ def _bb_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pbt_ref,
     s, _ = _spectral_fwd_el(h, wmr_ref[0], wmi_ref[0], f)
     p = _dot(pw_ref[0].T, h.reshape(c, -1)).reshape(s.shape)
     # pb ships TRANSPOSED as the full (O, L) array — a (1, O) block of
-    # (L, O) violates Mosaic's (8,128)-divisible-or-full block rule, and
-    # a row read pb[i] would be the forbidden rank-1; the column select
-    # keeps everything rank-2
-    pre = s + p + pbt_ref[:, pl.ds(i, 1)][:, :, None]
+    # (L, O) violates Mosaic's (8,128)-divisible-or-full block rule, a
+    # row read pb[i] would be the forbidden rank-1, and a dynamic
+    # lane-dim slice pbt[:, ds(i,1)] leans on minor-dim dynamic indexing;
+    # selecting the column as a one-hot CONTRACTION uses only full-block
+    # static-shape ops (iota/compare/matmul) — unconditionally legal
+    onehot_i = (jax.lax.broadcasted_iota(jnp.int32, (L_LAYERS, 1), 0)
+                == i).astype(jnp.float32)
+    # exact f32 dot (not _dot): a bf16 cast here would round the bias
+    bias_col = jnp.dot(pbt_ref[:], onehot_i,
+                       preferred_element_type=jnp.float32)  # (O, 1)
+    pre = s + p + bias_col[:, :, None]
     pre_ref[0, 0] = pre
     h_scr[:] = jnp.where(last, pre, _gelu(pre))
 
@@ -562,15 +569,23 @@ def _bb_wgrad_kernel(pre_prev_ref, h0p_ref, dpre_ref, wmr_ref, wmi_ref,
         dwmr_ref[0] = jnp.zeros_like(dwmr_ref[0])
         dwmi_ref[0] = jnp.zeros_like(dwmi_ref[0])
         dpw_ref[0] = jnp.zeros_like(dpw_ref[0])
-        # dpb accumulates in the FULL (O, L) transposed buffer (block
-        # rule + rank-2 column select, see _bb_fwd_kernel): zero only
-        # this layer's column
-        dpbt_ref[:, pl.ds(layer, 1)] = jnp.zeros_like(dpb)
 
+    # dpb accumulates in the FULL (O, L) transposed buffer (block rule,
+    # see _bb_fwd_kernel).  The grid is (L, B) with B innermost, so the
+    # very first program is (layer 0, b 0): zero the whole buffer there,
+    # then every program adds its column as a one-hot outer product —
+    # full-block static-shape ops only (a dynamic lane-dim slice store
+    # would lean on minor-dim dynamic indexing support).
+    @pl.when(jnp.logical_and(layer == 0, b == 0))
+    def _():
+        dpbt_ref[:] = jnp.zeros_like(dpbt_ref)
+
+    onehot_row = (jax.lax.broadcasted_iota(jnp.int32, (1, L_LAYERS), 1)
+                  == layer).astype(jnp.float32)
     dwmr_ref[0] += dwmr
     dwmi_ref[0] += dwmi
     dpw_ref[0] += dpw
-    dpbt_ref[:, pl.ds(layer, 1)] += dpb
+    dpbt_ref[:] += dpb * onehot_row  # (O,1)*(1,L) -> only column `layer`
 
 
 # --------------------------------------------------------------------------
