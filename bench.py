@@ -245,6 +245,16 @@ def main():
         # quirks) — a casual CPU smoke would otherwise grab the (likely
         # claimed) chip and contend with the queue
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache: chip compiles of the flagship step run
+    # 170-580 s through the remote compile helper; if the backend supports
+    # executable serialization this makes repeat benches (e.g. the
+    # round-end driver run after a bench_validate) near-instant, and if
+    # not it is a no-op with a one-line warning
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     # a CPU debug run must never overwrite the chip's last-good fallback

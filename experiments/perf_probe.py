@@ -79,6 +79,13 @@ def run_one(name: str) -> dict:
         # a CPU smoke of the probe plumbing must never touch the (likely
         # claimed) chip
         jax.config.update("jax_platforms", "cpu")
+    # persistent compile cache (no-op if the backend cannot serialize):
+    # observed remote compiles run 170-580 s per config
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)

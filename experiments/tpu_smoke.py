@@ -40,6 +40,13 @@ OUT = pathlib.Path(__file__).parent / "results" / "tpu_smoke.json"
 
 def main() -> int:
     import jax
+
+    # persistent compile cache (no-op if the backend cannot serialize)
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        str(pathlib.Path(__file__).parent.parent / ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     res: dict = {"device": str(jax.devices()[0]),
