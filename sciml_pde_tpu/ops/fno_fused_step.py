@@ -341,10 +341,26 @@ def _layer_wgrad_el(h, dpre, wmr, wmi, f):
     dwmr = brm[:, None, :] * dcr[None, :, :] + bim[:, None, :] * dci[None, :, :]
     dwmi = -bim[:, None, :] * dcr[None, :, :] + brm[:, None, :] * dci[None, :, :]
     dpw = _dot(h.reshape(c, -1), dpre.reshape(o, -1).T)
-    # (O, 1) column, reduced in two rank-preserving stages (a flat
-    # axis=(1,2) reduce would create the forbidden rank-1 result)
-    dpb = jnp.sum(jnp.sum(dpre, axis=2), axis=1, keepdims=True)
+    # (O, 1) column: one rank-3 -> rank-2 reduce, then a ones contraction
+    # (a reduce leaving a single dim lowers via the forbidden rank-1)
+    dpb = _sum_cols(jnp.sum(dpre, axis=2))
     return dwmr, dwmi, dpw, dpb
+
+
+def _sum_cols(x):
+    """Row-sums of a rank-2 array as an (N, 1) column — via a ones-vector
+    CONTRACTION, never a reduction.
+
+    XLA lowers ``keepdims=True`` (and plain) reductions that leave a
+    single dim as reduce-to-RANK-1 + reshape; inside a Mosaic kernel the
+    rank-1 intermediate aborts lowering with ``Check failed: arr.size()
+    >= layout_rank`` (round-4/5 on-chip crashes, perf_probe iso_*
+    bisection).  A matmul with a ones column produces (N, 1) directly
+    with no rank-1 value anywhere.  Exact f32 (not _dot): bias grads
+    must not round through bf16.
+    """
+    return jnp.dot(x, jnp.ones((x.shape[1], 1), jnp.float32),
+                   preferred_element_type=jnp.float32)
 
 
 def _stats_el(x5):
@@ -352,15 +368,21 @@ def _stats_el(x5):
     (mean, std) each of shape (1, Cc, 1, 1) — per physical channel Cc,
     unbiased over (T, X, Y) + 1e-7 (fno.py:139).
 
-    keepdims everywhere: Mosaic assigns every intermediate a >=2D layout,
-    and a rank-1 array aborts lowering with ``Check failed: arr.size() >=
-    layout_rank`` (the round-4 on-chip crash, perf_probe_r4.json) — so no
-    rank-1 value may ever exist inside a kernel body.
+    Staged so NO intermediate ever has rank < 2 (see _sum_cols): spatial
+    mean reduces rank-4 -> rank-2 (T, Cc) in one step, and the T axis
+    folds via a ones-row contraction.
     """
-    n = x5.shape[0] * x5.shape[2] * x5.shape[3]
-    mean = jnp.mean(x5, axis=(0, 2, 3), keepdims=True)
-    var = jnp.sum((x5 - mean) ** 2, axis=(0, 2, 3), keepdims=True) / (n - 1)
-    return mean, jnp.sqrt(var) + 1e-7
+    t, cc, xx, yy = x5.shape
+    n = t * xx * yy
+    ones_t = jnp.ones((1, t), jnp.float32)
+    m_txy = jnp.mean(x5, axis=(2, 3))                      # (T, Cc)
+    mean2 = jnp.dot(ones_t, m_txy,
+                    preferred_element_type=jnp.float32) / t  # (1, Cc)
+    mean = mean2[:, :, None, None]                         # (1, Cc, 1, 1)
+    s_txy = jnp.sum((x5 - mean) ** 2, axis=(2, 3))         # (T, Cc)
+    var2 = jnp.dot(ones_t, s_txy,
+                   preferred_element_type=jnp.float32) / (n - 1)
+    return mean, jnp.sqrt(var2)[:, :, None, None] + 1e-7
 
 
 def _prep_el(x5, grid2, mean, std):
@@ -504,11 +526,11 @@ def _head_bwd_kernel(dpred_ref, bb_ref, stats_ref, w1t_ref, b1_ref, w2t_ref,
         t1 = _gelu(pre1)
         dout = dpred[:, sl]
         dw2t_ref[:] += _dot(dout, t1.T)
-        db2_ref[:] += jnp.sum(dout, axis=1, keepdims=True)   # (Co, 1)
+        db2_ref[:] += _sum_cols(dout)   # (Co, 1), ones contraction
         dt1 = _dot(w2t_ref[:].T, dout)
         dpre1 = dt1 * _gelu_grad(pre1)
         dw1t_ref[:] += _dot(dpre1, bbc.T)
-        db1_ref[:] += jnp.sum(dpre1, axis=1, keepdims=True)  # (H, 1)
+        db1_ref[:] += _sum_cols(dpre1)  # (H, 1)
         dbb_ref[0, :, sl] = _dot(w1t_ref[:].T, dpre1)
 
 
@@ -551,7 +573,7 @@ def _bb_bwd_kernel(dbb_ref, pre_ref, win_ref, grid_ref, stats_ref,
             db0_ref[:] = jnp.zeros_like(db0_ref)
 
         dw0t_ref[:] += _dot(dh0, finp.T)
-        db0_ref[:] += jnp.sum(dh0, axis=1, keepdims=True)  # (C, 1)
+        db0_ref[:] += _sum_cols(dh0)  # (C, 1), ones contraction
 
 
 def _bb_wgrad_kernel(pre_prev_ref, h0p_ref, dpre_ref, wmr_ref, wmi_ref,
