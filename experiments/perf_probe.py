@@ -272,7 +272,12 @@ def main(argv=None):
         print("PROBE_RESULT " + json.dumps(res), flush=True)
         return
 
-    results = {}
+    # merge with any prior run so a partial re-run (e.g. just the fused
+    # configs after a kernel fix) keeps the control rows
+    try:
+        results = json.loads(OUT.read_text())
+    except (OSError, ValueError):
+        results = {}
     for name in a.configs.split(","):
         cmd = [sys.executable, __file__, "--config", name]
         t0 = time.time()

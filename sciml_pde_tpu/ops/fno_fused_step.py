@@ -92,15 +92,33 @@ def _dot(a, b):
 # --------------------------------------------------------------------------
 
 
-class SpectralFactors(NamedTuple):
-    """All constant partial-DFT bases for one (Hp, Wp, m1, m2) geometry.
+def _pad8(n: int) -> int:
+    return -(-n // 8) * 8
 
-    Shapes (Hp=Wp=n, m2=k modes on the rfft axis, 2*m1=r corner rows):
-      fr, fi:   (n, k)   forward W-axis rDFT
-      gr, gi:   (n, r)   forward H-axis corner DFT
-      hr, hi:   (r, n)   inverse H (no Hermitian doubling)
-      wr, wi:   (k, n)   inverse W (Hermitian-doubled, /n)
-      + transposes of each (suffix t) so kernels never transpose weights.
+
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+class SpectralFactors(NamedTuple):
+    """All constant partial-DFT bases for one (Hp, Wp, m1, m2) geometry,
+    embedded in TILE-ALIGNED zero-padded arrays.
+
+    Mosaic supports only a narrow set of shape casts: leading-dim
+    merges/splits whose resulting sublane dim is a multiple of 8, and
+    minor-dim merges whose lane dim is a multiple of 128 (the round-5
+    iso probes fail 'infer-vector-layout: unsupported shape cast'
+    otherwise).  So every axis a kernel merges over is padded up front —
+    HPAD = ceil8(Hp), WPAD = ceil128(Wp), KP = ceil8(m2),
+    RP = ceil8(2*m1) — and the factor matrices carry exact ZEROS in the
+    pad rows/cols, which keeps the math identical: padded field regions
+    multiply into zeros everywhere in the spectral chain.
+
+    Shapes: fr, fi (WPAD, KP) forward W-axis rDFT; gr, gi (HPAD, RP)
+    forward H-axis corner DFT; hr, hi (RP, HPAD) inverse H (no Hermitian
+    doubling); wr, wi (KP, WPAD) inverse W (Hermitian-doubled, /Wp; zero
+    cols >= Wp so the physical pad region of the field stays exactly 0).
+    + transposes of each (suffix t) so kernels never transpose weights.
     """
 
     fr: np.ndarray
@@ -121,10 +139,22 @@ class SpectralFactors(NamedTuple):
     wit: np.ndarray
 
 
+def _embed(a: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    out = np.zeros((rows, cols), np.float32)
+    out[: a.shape[0], : a.shape[1]] = a
+    return out
+
+
 @functools.lru_cache(maxsize=16)
 def spectral_factors(hp: int, wp: int, m1: int, m2: int) -> SpectralFactors:
     (fr, fi), (iwr, iwi) = _dft_factors_1d(wp, m2, None)
     (gr, gi), (ihr, ihi) = _dft_factors_1d(hp, 2 * m1, _corner_rows(hp, m1))
+    hpad, wpad = _pad8(hp), _pad128(wp)
+    kp, rp = _pad8(m2), _pad8(2 * m1)
+    fr, fi = _embed(fr, wpad, kp), _embed(fi, wpad, kp)
+    gr, gi = _embed(gr, hpad, rp), _embed(gi, hpad, rp)
+    ihr, ihi = _embed(ihr, rp, hpad), _embed(ihi, rp, hpad)
+    iwr, iwi = _embed(iwr, kp, wpad), _embed(iwi, kp, wpad)
     mk = lambda a: np.ascontiguousarray(a, np.float32)
     return SpectralFactors(
         fr=mk(fr), fi=mk(fi), gr=mk(gr), gi=mk(gi),
@@ -142,9 +172,12 @@ def spectral_factors(hp: int, wp: int, m1: int, m2: int) -> SpectralFactors:
 class FastFNOParams(NamedTuple):
     """FNO2d parameters re-oriented for the channels-first kernels.
 
-    wmr/wmi: (L, C, O, m2*2m1) — complex mode-mix weights, the reference's
-      w1/w2 corner blocks concatenated along the row axis then flattened
-      (k-major, r-minor) so the mode axis sits in lanes.
+    wmr/wmi: (L, C, O, KP, RP) — complex mode-mix weights as a 4D
+      per-layer block (KP = ceil8(m2) rfft modes, RP = ceil8(2*m1)
+      corner rows), zero-padded to tile-aligned mode dims; the mix runs
+      as a 4D broadcast-multiply-reduce, so no lane-remix shape cast is
+      ever needed (the padded entries have structurally zero gradients
+      and stay exactly zero under training).
     pw:  (L, C, O) 1x1 conv kernels;  pb: (L, O) their biases.
     w0t: (C, F) transposed lift kernel; w1t: (128, C); w2t: (Co, 128).
     """
@@ -164,17 +197,19 @@ class FastFNOParams(NamedTuple):
 def pack_params(tree, modes1: int, modes2: int) -> FastFNOParams:
     """Flax FNO2d param tree -> FastFNOParams (pure jnp; jit-safe)."""
     bb = tree["backbone"] if "backbone" in tree else tree
+    kp, rp = _pad8(modes2), _pad8(2 * modes1)
     wmr, wmi, pw, pb = [], [], [], []
     for i in range(L_LAYERS):
         conv = bb[f"conv{i}"]
         w1, w2 = conv["w1"], conv["w2"]  # (2, C, O, m1, m2)
         wr = jnp.concatenate([w1[0], w2[0]], axis=2)  # (C, O, 2m1, m2)
         wi = jnp.concatenate([w1[1], w2[1]], axis=2)
-        # (C, O, r, k) -> (C, O, k, r) -> (C, O, k*r): k-major flattening
-        # matches the (C, k, r) layout the kernels produce after the
-        # corner DFT
-        wmr.append(jnp.transpose(wr, (0, 1, 3, 2)).reshape(wr.shape[0], wr.shape[1], -1))
-        wmi.append(jnp.transpose(wi, (0, 1, 3, 2)).reshape(wi.shape[0], wi.shape[1], -1))
+        # (C, O, r, k) -> (C, O, k, r) -> zero-pad to (C, O, KP, RP):
+        # matches the (C, KP, RP) layout the kernels produce after the
+        # corner DFT (padded mode slots hold exact zeros)
+        padkr = [(0, 0), (0, 0), (0, kp - modes2), (0, rp - 2 * modes1)]
+        wmr.append(jnp.pad(jnp.transpose(wr, (0, 1, 3, 2)), padkr))
+        wmi.append(jnp.pad(jnp.transpose(wi, (0, 1, 3, 2)), padkr))
         dense = bb[f"w{i}"]["Dense_0"]
         pw.append(dense["kernel"])  # (C, O)
         pb.append(dense["bias"])
@@ -196,9 +231,9 @@ def unpack_grads(g: FastFNOParams, modes1: int, modes2: int, like_tree):
     m1, m2 = modes1, modes2
     bb = {}
     for i in range(L_LAYERS):
-        c, o = g.pw.shape[1], g.pw.shape[2]
-        wr = jnp.transpose(g.wmr[i].reshape(c, o, m2, 2 * m1), (0, 1, 3, 2))
-        wi = jnp.transpose(g.wmi[i].reshape(c, o, m2, 2 * m1), (0, 1, 3, 2))
+        # drop the tile-alignment pad slots (structural zeros)
+        wr = jnp.transpose(g.wmr[i][:, :, :m2, : 2 * m1], (0, 1, 3, 2))
+        wi = jnp.transpose(g.wmi[i][:, :, :m2, : 2 * m1], (0, 1, 3, 2))
         w1 = jnp.stack([wr[:, :, :m1], wi[:, :, :m1]])
         w2 = jnp.stack([wr[:, :, m1:], wi[:, :, m1:]])
         bb[f"conv{i}"] = {"w1": w1, "w2": w2}
@@ -248,66 +283,72 @@ def _gelu_grad(x):
 
 
 def _spectral_fwd_el(h, wmr, wmi, f):
-    """Spectral conv for ONE element: h (C, Hp, Wp) -> (O, Hp, Wp).
+    """Spectral conv for ONE element: h (C, HPAD, WPAD) -> (O, HPAD, WPAD).
 
-    Returns the result; the internal corner spectrum (br, bi) is also
-    returned for the weight-grad pass.
+    All shape casts are leading-dim merges/splits over 8-aligned sublane
+    dims (HPAD, KP) — the only casts Mosaic's infer-vector-layout
+    accepts — and the mode mix runs in 4D broadcast form so the
+    (C*KP, RP) <-> (C, KP*RP) lane remix never exists.  Returns the
+    result and the corner spectrum (br, bi) each (C, KP, RP) for the
+    weight-grad pass.
     """
-    c, hp, wp = h.shape
-    k = f.fr.shape[1]
-    r = f.gr.shape[1]
-    hf = h.reshape(c * hp, wp)
-    ar = _dot(hf, f.fr).reshape(c, hp, k)  # (C, Hp, k)
-    ai = _dot(hf, f.fi).reshape(c, hp, k)
-    art = jnp.transpose(ar, (0, 2, 1)).reshape(c * k, hp)  # (C*k, Hp)
-    ait = jnp.transpose(ai, (0, 2, 1)).reshape(c * k, hp)
-    br = _dot(art, f.gr) - _dot(ait, f.gi)  # (C*k, r)
-    bi = _dot(art, f.gi) + _dot(ait, f.gr)
-    brm = br.reshape(c, k * r)
-    bim = bi.reshape(c, k * r)
-    # mode mix on the VPU: per-mode (C x O) contractions are too small for
-    # the MXU; broadcast-multiply then reduce the channel axis
-    cr = (brm[:, None, :] * wmr).sum(0) - (bim[:, None, :] * wmi).sum(0)
-    ci = (brm[:, None, :] * wmi).sum(0) + (bim[:, None, :] * wmr).sum(0)
+    c, hpad, wpad = h.shape
+    kp = f.fr.shape[1]
+    rp = f.gr.shape[1]
     o = wmr.shape[1]
-    crf = cr.reshape(o * k, r)
-    cif = ci.reshape(o * k, r)
-    dr_ = (_dot(crf, f.hr) - _dot(cif, f.hi)).reshape(o, k, hp)
-    di_ = (_dot(crf, f.hi) + _dot(cif, f.hr)).reshape(o, k, hp)
-    drt = jnp.transpose(dr_, (0, 2, 1)).reshape(o * hp, k)
-    dit = jnp.transpose(di_, (0, 2, 1)).reshape(o * hp, k)
-    s = (_dot(drt, f.wr) - _dot(dit, f.wi)).reshape(o, hp, wp)
-    return s, (brm, bim)
+    hf = h.reshape(c * hpad, wpad)
+    ar = _dot(hf, f.fr).reshape(c, hpad, kp)  # (C, HPAD, KP)
+    ai = _dot(hf, f.fi).reshape(c, hpad, kp)
+    art = jnp.transpose(ar, (0, 2, 1)).reshape(c * kp, hpad)  # (C*KP, HPAD)
+    ait = jnp.transpose(ai, (0, 2, 1)).reshape(c * kp, hpad)
+    br = (_dot(art, f.gr) - _dot(ait, f.gi)).reshape(c, kp, rp)
+    bi = (_dot(art, f.gi) + _dot(ait, f.gr)).reshape(c, kp, rp)
+    # mode mix on the VPU: per-mode (C x O) contractions are too small
+    # for the MXU; broadcast-multiply then reduce the leading channel axis
+    cr = (br[:, None] * wmr).sum(0) - (bi[:, None] * wmi).sum(0)  # (O,KP,RP)
+    ci = (br[:, None] * wmi).sum(0) + (bi[:, None] * wmr).sum(0)
+    crf = cr.reshape(o * kp, rp)
+    cif = ci.reshape(o * kp, rp)
+    dr_ = (_dot(crf, f.hr) - _dot(cif, f.hi)).reshape(o, kp, hpad)
+    di_ = (_dot(crf, f.hi) + _dot(cif, f.hr)).reshape(o, kp, hpad)
+    drt = jnp.transpose(dr_, (0, 2, 1)).reshape(o * hpad, kp)
+    dit = jnp.transpose(di_, (0, 2, 1)).reshape(o * hpad, kp)
+    s = (_dot(drt, f.wr) - _dot(dit, f.wi)).reshape(o, hpad, wpad)
+    return s, (br, bi)
 
 
 def _spectral_adj_el(ds, wmr, wmi, f):
-    """Adjoint of _spectral_fwd_el wrt its input: ds (O,Hp,Wp) -> (C,Hp,Wp).
+    """Adjoint of _spectral_fwd_el wrt its input:
+    ds (O, HPAD, WPAD) -> (C, HPAD, WPAD).
 
-    Also returns the adjoint corner spectrum (dcr, dci) — the cotangent
-    of the mode-mix output — which the weight-grad pass combines with the
-    forward corner spectrum.
+    Also returns the adjoint corner spectrum (dcr, dci), each
+    (O, KP, RP) — the cotangent of the mode-mix output — which the
+    weight-grad pass combines with the forward corner spectrum.
     """
-    o, hp, wp = ds.shape
-    k = f.fr.shape[1]
-    r = f.gr.shape[1]
-    dsf = ds.reshape(o * hp, wp)
-    ddrt = _dot(dsf, f.wrt).reshape(o, hp, k)  # adjoint of real inverse W
-    ddit = -_dot(dsf, f.wit).reshape(o, hp, k)
-    ddr = jnp.transpose(ddrt, (0, 2, 1)).reshape(o * k, hp)
-    ddi = jnp.transpose(ddit, (0, 2, 1)).reshape(o * k, hp)
-    dcr = (_dot(ddr, f.hrt) + _dot(ddi, f.hit)).reshape(o, k * r)
-    dci = (-_dot(ddr, f.hit) + _dot(ddi, f.hrt)).reshape(o, k * r)
-    # adjoint of the mix (reduce the O axis)
-    dbr = (dcr[None, :, :] * wmr).sum(1) + (dci[None, :, :] * wmi).sum(1)
-    dbi = (-dcr[None, :, :] * wmi).sum(1) + (dci[None, :, :] * wmr).sum(1)
+    o, hpad, wpad = ds.shape
+    kp = f.fr.shape[1]
+    rp = f.gr.shape[1]
     c = wmr.shape[0]
-    dbrf = dbr.reshape(c * k, r)
-    dbif = dbi.reshape(c * k, r)
-    dart = (_dot(dbrf, f.grt) + _dot(dbif, f.git)).reshape(c, k, hp)
-    dait = (-_dot(dbrf, f.git) + _dot(dbif, f.grt)).reshape(c, k, hp)
-    dar = jnp.transpose(dart, (0, 2, 1)).reshape(c * hp, k)
-    dai = jnp.transpose(dait, (0, 2, 1)).reshape(c * hp, k)
-    dh = (_dot(dar, f.frt) + _dot(dai, f.fit)).reshape(c, hp, wp)
+    dsf = ds.reshape(o * hpad, wpad)
+    ddrt = _dot(dsf, f.wrt).reshape(o, hpad, kp)  # adjoint of real inv W
+    ddit = -_dot(dsf, f.wit).reshape(o, hpad, kp)
+    ddr = jnp.transpose(ddrt, (0, 2, 1)).reshape(o * kp, hpad)
+    ddi = jnp.transpose(ddit, (0, 2, 1)).reshape(o * kp, hpad)
+    dcr = (_dot(ddr, f.hrt) + _dot(ddi, f.hit)).reshape(o, kp, rp)
+    dci = (-_dot(ddr, f.hit) + _dot(ddi, f.hrt)).reshape(o, kp, rp)
+    # adjoint of the mix: reduce the O axis, permuted to LEADING first
+    # (leading-axis reduces are the form the fwd mix already uses)
+    wmrT = jnp.transpose(wmr, (1, 0, 2, 3))  # (O, C, KP, RP) batch perm
+    wmiT = jnp.transpose(wmi, (1, 0, 2, 3))
+    dbr = (dcr[:, None] * wmrT).sum(0) + (dci[:, None] * wmiT).sum(0)
+    dbi = (-dcr[:, None] * wmiT).sum(0) + (dci[:, None] * wmrT).sum(0)
+    dbrf = dbr.reshape(c * kp, rp)
+    dbif = dbi.reshape(c * kp, rp)
+    dart = (_dot(dbrf, f.grt) + _dot(dbif, f.git)).reshape(c, kp, hpad)
+    dait = (-_dot(dbrf, f.git) + _dot(dbif, f.grt)).reshape(c, kp, hpad)
+    dar = jnp.transpose(dart, (0, 2, 1)).reshape(c * hpad, kp)
+    dai = jnp.transpose(dait, (0, 2, 1)).reshape(c * hpad, kp)
+    dh = (_dot(dar, f.frt) + _dot(dai, f.fit)).reshape(c, hpad, wpad)
     return dh, (dcr, dci)
 
 
@@ -336,14 +377,13 @@ def _layer_bwd_data_el(dh_next, pre, wmr, wmi, pw, f, last):
 def _layer_wgrad_el(h, dpre, wmr, wmi, f):
     """Weight cotangents of one layer from its input h and dpre."""
     c, o = h.shape[0], dpre.shape[0]
-    _, (brm, bim) = _spectral_fwd_el(h, wmr, wmi, f)
-    _, (dcr, dci) = _spectral_adj_el(dpre, wmr, wmi, f)
-    dwmr = brm[:, None, :] * dcr[None, :, :] + bim[:, None, :] * dci[None, :, :]
-    dwmi = -bim[:, None, :] * dcr[None, :, :] + brm[:, None, :] * dci[None, :, :]
+    _, (br, bi) = _spectral_fwd_el(h, wmr, wmi, f)        # (C, KP, RP)
+    _, (dcr, dci) = _spectral_adj_el(dpre, wmr, wmi, f)   # (O, KP, RP)
+    dwmr = br[:, None] * dcr[None] + bi[:, None] * dci[None]   # (C,O,KP,RP)
+    dwmi = -bi[:, None] * dcr[None] + br[:, None] * dci[None]
+    # minor merges are legal here: WPAD is 128-aligned by construction
     dpw = _dot(h.reshape(c, -1), dpre.reshape(o, -1).T)
-    # (O, 1) column: one rank-3 -> rank-2 reduce, then a ones contraction
-    # (a reduce leaving a single dim lowers via the forbidden rank-1)
-    dpb = _sum_cols(jnp.sum(dpre, axis=2))
+    dpb = _sum_cols(dpre.reshape(o, -1))  # (O, 1), ones contraction
     return dwmr, dwmi, dpw, dpb
 
 
@@ -368,21 +408,26 @@ def _stats_el(x5):
     (mean, std) each of shape (1, Cc, 1, 1) — per physical channel Cc,
     unbiased over (T, X, Y) + 1e-7 (fno.py:139).
 
-    Staged so NO intermediate ever has rank < 2 (see _sum_cols): spatial
-    mean reduces rank-4 -> rank-2 (T, Cc) in one step, and the T axis
-    folds via a ones-row contraction.
+    Mosaic-legal reduction shapes only: trailing-dims reductions keep a
+    trailing size-1 axis (keepdims — the round-5 fused_f32 probe failed
+    'reductions over both trailing dimensions are only supported when
+    the resulting value has a trailing axis of size 1' otherwise), and
+    the T axis folds by a static unrolled sum (T is small and static;
+    a leading-axis reduce or a rank-1-producing reduce would both lean
+    on unsupported lowerings).
     """
     t, cc, xx, yy = x5.shape
     n = t * xx * yy
-    ones_t = jnp.ones((1, t), jnp.float32)
-    m_txy = jnp.mean(x5, axis=(2, 3))                      # (T, Cc)
-    mean2 = jnp.dot(ones_t, m_txy,
-                    preferred_element_type=jnp.float32) / t  # (1, Cc)
-    mean = mean2[:, :, None, None]                         # (1, Cc, 1, 1)
-    s_txy = jnp.sum((x5 - mean) ** 2, axis=(2, 3))         # (T, Cc)
-    var2 = jnp.dot(ones_t, s_txy,
-                   preferred_element_type=jnp.float32) / (n - 1)
-    return mean, jnp.sqrt(var2)[:, :, None, None] + 1e-7
+    m4 = jnp.mean(x5, axis=(2, 3), keepdims=True)   # (T, Cc, 1, 1)
+    msum = m4[0]
+    for i in range(1, t):
+        msum = msum + m4[i]                          # (Cc, 1, 1)
+    mean = msum[None] / t                            # (1, Cc, 1, 1)
+    s4 = jnp.sum((x5 - mean) ** 2, axis=(2, 3), keepdims=True)
+    ssum = s4[0]
+    for i in range(1, t):
+        ssum = ssum + s4[i]
+    return mean, jnp.sqrt(ssum[None] / (n - 1)) + 1e-7
 
 
 def _prep_el(x5, grid2, mean, std):
@@ -410,6 +455,7 @@ def fno2d_fused_reference(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
     hp, wp = xx + pad, yy + pad
     f = spectral_factors(hp, wp, modes1, modes2)
     f = SpectralFactors(*(jnp.asarray(a) for a in f))
+    hpad, wpad = f.gr.shape[0], f.fr.shape[0]
     c = p.w0t.shape[0]
 
     def one(x5):
@@ -417,7 +463,10 @@ def fno2d_fused_reference(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
         mean, std = jax.lax.stop_gradient(mean), jax.lax.stop_gradient(std)
         inp = _prep_el(x5, grid2, mean, std)
         h0 = (_dot(p.w0t, inp.reshape(inp.shape[0], -1)) + p.b0[:, None]).reshape(c, xx, yy)
-        h = jnp.zeros((c, hp, wp), jnp.float32).at[:, :xx, :yy].set(h0)
+        # physical field is tile-padded; logical FNO pad [xx:hp) and the
+        # physical pad [hp:HPAD) are both zeros, and the zero-padded DFT
+        # factors keep them out of the spectral path exactly
+        h = jnp.zeros((c, hpad, wpad), jnp.float32).at[:, :xx, :yy].set(h0)
         for i in range(L_LAYERS):
             h, _ = _layer_fwd_el(h, p.wmr[i], p.wmi[i], p.pw[i], p.pb[i], f,
                                  last=(i == L_LAYERS - 1))
@@ -626,9 +675,9 @@ def _const_spec(shape):
 
 def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
     b, t, cc, xx, yy = win.shape
-    hp, wp = xx + pad, yy + pad
+    hpad, wpad = _pad8(xx + pad), _pad128(yy + pad)  # physical field dims
     c = p.w0t.shape[0]
-    facs = _facs_arrays(hp, wp, m1, m2)
+    facs = _facs_arrays(xx + pad, yy + pad, m1, m2)
     n_facs = len(facs)
 
     def kernel(*refs):
@@ -643,9 +692,9 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
         pl.BlockSpec((1, t, cc, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         _const_spec(grid2.shape),
-        pl.BlockSpec((1,) + p.wmr.shape[1:], lambda bb_, i: (i, 0, 0, 0),
+        pl.BlockSpec((1,) + p.wmr.shape[1:], lambda bb_, i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1,) + p.wmi.shape[1:], lambda bb_, i: (i, 0, 0, 0),
+        pl.BlockSpec((1,) + p.wmi.shape[1:], lambda bb_, i: (i, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1,) + p.pw.shape[1:], lambda bb_, i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -654,19 +703,19 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
         _const_spec((p.b0.shape[0], 1)),         # b0 as (C, 1) column
     ] + [_const_spec(a.shape) for a in facs]
     out_shape = [
-        jax.ShapeDtypeStruct((b, L_LAYERS, c, hp, wp), jnp.float32),  # pre
-        jax.ShapeDtypeStruct((b, 1, c, xx, yy), jnp.float32),         # bbout
-        jax.ShapeDtypeStruct((b, cc, 2), jnp.float32),                # stats
-        jax.ShapeDtypeStruct((b, c, hp, wp), jnp.float32),            # h0p
+        jax.ShapeDtypeStruct((b, L_LAYERS, c, hpad, wpad), jnp.float32),
+        jax.ShapeDtypeStruct((b, 1, c, xx, yy), jnp.float32),   # bbout
+        jax.ShapeDtypeStruct((b, cc, 2), jnp.float32),          # stats
+        jax.ShapeDtypeStruct((b, c, hpad, wpad), jnp.float32),  # h0p
     ]
     out_specs = [
-        pl.BlockSpec((1, 1, c, hp, wp), lambda bb_, i: (bb_, i, 0, 0, 0),
+        pl.BlockSpec((1, 1, c, hpad, wpad), lambda bb_, i: (bb_, i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, c, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cc, 2), lambda bb_, i: (bb_, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, c, hp, wp), lambda bb_, i: (bb_, 0, 0, 0),
+        pl.BlockSpec((1, c, hpad, wpad), lambda bb_, i: (bb_, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     pre, bbout, stats, h0p = pl.pallas_call(
@@ -675,7 +724,7 @@ def _bb_forward(win, grid2, p: FastFNOParams, m1, m2, pad):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((c, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((c, hpad, wpad), jnp.float32)],
         interpret=_use_interpret(),
     )(win, grid2, p.wmr, p.wmi, p.pw, p.pb.T, p.w0t, p.b0[:, None], *facs)
     return pre, bbout[:, 0], stats, h0p
@@ -758,9 +807,9 @@ def _head_backward(dpred, bbout, stats, p: FastFNOParams, n_chunks=4):
 
 def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
     b, t, cc, xx, yy = win.shape
-    hp, wp = xx + pad, yy + pad
+    hpad, wpad = _pad8(xx + pad), _pad128(yy + pad)
     c = p.w0t.shape[0]
-    facs = _facs_arrays(hp, wp, m1, m2)
+    facs = _facs_arrays(xx + pad, yy + pad, m1, m2)
     n_facs = len(facs)
 
     def kernel(*refs):
@@ -772,7 +821,7 @@ def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
                        pw_r, w0t_r, f_rs, dpre_r, dw0t_r, db0_r, dh_scr)
 
     # layer weights walked in REVERSE: block l = L-1-i
-    rev = lambda bb_, i: (L_LAYERS - 1 - i, 0, 0, 0)
+    rev = lambda bb_, i: (L_LAYERS - 1 - i, 0, 0, 0, 0)
     rev3 = lambda bb_, i: (L_LAYERS - 1 - i, 0, 0)
     dpre, dw0t, db0 = pl.pallas_call(
         kernel,
@@ -780,7 +829,7 @@ def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
         in_specs=[
             pl.BlockSpec((1, 1, c, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, hp, wp),
+            pl.BlockSpec((1, 1, c, hpad, wpad),
                          lambda bb_, i: (bb_, L_LAYERS - 1 - i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, cc, xx, yy), lambda bb_, i: (bb_, 0, 0, 0, 0),
@@ -794,29 +843,27 @@ def _bb_backward(dbb, pre, win, grid2, stats, p: FastFNOParams, m1, m2, pad):
             _const_spec(p.w0t.shape),
         ] + [_const_spec(a.shape) for a in facs],
         out_specs=[
-            pl.BlockSpec((1, 1, c, hp, wp),
+            pl.BlockSpec((1, 1, c, hpad, wpad),
                          lambda bb_, i: (bb_, L_LAYERS - 1 - i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec(p.w0t.shape),
             _const_spec((c, 1)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, L_LAYERS, c, hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((b, L_LAYERS, c, hpad, wpad), jnp.float32),
             jax.ShapeDtypeStruct(p.w0t.shape, jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((c, hp, wp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((c, hpad, wpad), jnp.float32)],
         interpret=_use_interpret(),
     )(dbb[:, None], pre, win, grid2, stats, p.wmr, p.wmi, p.pw, p.w0t, *facs)
     return dpre, dw0t, db0[:, 0]
 
 
-def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
+def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2, pad, xx, yy):
     b = pre.shape[0]
-    c, hp, wp = pre.shape[2:]
-    o = p.wmr.shape[2]
-    kr = p.wmr.shape[-1]
-    facs = _facs_arrays(hp, wp, m1, m2)
+    c, hpad, wpad = pre.shape[2:]
+    facs = _facs_arrays(xx + pad, yy + pad, m1, m2)
     n_facs = len(facs)
 
     def kernel(*refs):
@@ -830,26 +877,24 @@ def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2):
     # layer's pre-activation); l == 0 loads pre[b, 0] as a dummy and the
     # kernel selects h0p instead
     lsel = lambda l, bb_: (bb_, jnp.maximum(l - 1, 0), 0, 0, 0)
+    w5 = lambda l, bb_: (l, 0, 0, 0, 0)
     dwmr, dwmi, dpw, dpbt = pl.pallas_call(
         kernel,
         grid=(L_LAYERS, b),
         in_specs=[
-            pl.BlockSpec((1, 1, c, hp, wp), lsel, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, hp, wp), lambda l, bb_: (bb_, 0, 0, 0),
+            pl.BlockSpec((1, 1, c, hpad, wpad), lsel, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, hpad, wpad), lambda l, bb_: (bb_, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, hp, wp), lambda l, bb_: (bb_, l, 0, 0, 0),
+            pl.BlockSpec((1, 1, c, hpad, wpad),
+                         lambda l, bb_: (bb_, l, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.wmr.shape[1:], w5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.wmi.shape[1:], w5, memory_space=pltpu.VMEM),
         ] + [_const_spec(a.shape) for a in facs],
         out_specs=[
-            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, o, kr), lambda l, bb_: (l, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c, o), lambda l, bb_: (l, 0, 0),
+            pl.BlockSpec((1,) + p.wmr.shape[1:], w5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.wmi.shape[1:], w5, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + p.pw.shape[1:], lambda l, bb_: (l, 0, 0),
                          memory_space=pltpu.VMEM),
             _const_spec((p.pb.shape[1], L_LAYERS)),  # dpb TRANSPOSED (O, L)
         ],
@@ -891,7 +936,9 @@ def _apply_bwd(modes1, modes2, pad, res, dpred):
     dbb, dw1t, db1, dw2t, db2 = _head_backward(dpred, bbout, stats, p)
     dpre, dw0t, db0 = _bb_backward(dbb, pre, win, grid2, stats, p,
                                    modes1, modes2, pad)
-    dwmr, dwmi, dpw, dpb = _bb_weight_grads(pre, h0p, dpre, p, modes1, modes2)
+    dwmr, dwmi, dpw, dpb = _bb_weight_grads(
+        pre, h0p, dpre, p, modes1, modes2, pad, win.shape[3], win.shape[4]
+    )
     dp = FastFNOParams(
         wmr=dwmr, wmi=dwmi, pw=dpw, pb=dpb, w0t=dw0t, b0=db0,
         w1t=dw1t, b1=db1, w2t=dw2t, b2=db2,
