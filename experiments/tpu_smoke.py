@@ -94,7 +94,12 @@ def main() -> int:
         }
         ok &= res["fused_step"]["finite"]
     except Exception as e:  # noqa: BLE001 — verdict file must always appear
-        res["fused_step"] = {"error": f"{type(e).__name__}: {e}"[:500]}
+        msg = f"{type(e).__name__}: {e}"
+        # keep head AND tail: the Mosaic error text sits at the END of the
+        # remote-compile-helper wrapper noise
+        res["fused_step"] = {
+            "error": msg[:300] + (" ... " + msg[-1500:] if len(msg) > 1800 else msg[300:]),
+        }
         ok = False
 
     # --- 2. one flash-attention call ------------------------------------
