@@ -165,7 +165,8 @@ def run_one(name: str) -> dict:
         fp = ffs.pack_params(params, MODES, MODES)
         grid2 = jnp.transpose(grid, (2, 0, 1))
         pad = 2
-        hp, wp = NX + pad, NY + pad
+        # PHYSICAL (tile-padded) field dims, matching _bb_forward's spills
+        hp, wp = ffs._pad8(NX + pad), ffs._pad128(NY + pad)
         win = jnp.asarray(
             rng.normal(size=(batch, T0, CC, NX, NY)).astype(np.float32)
         )
@@ -182,28 +183,31 @@ def run_one(name: str) -> dict:
         dpred = jnp.asarray(
             rng.normal(size=(batch, CC, NX, NY)).astype(np.float32))
 
+        # big tensors enter as jit ARGUMENTS: captured as closure
+        # constants they become XLA constants the compiler tried to
+        # place in VMEM "stack" (iso_bbbwd OOMed that way)
         which = cfg["which"]
         if which == "bbfwd":
-            fn = jax.jit(lambda w: ffs._bb_forward(
-                w, grid2, fp, MODES, MODES, pad)[1])
-            arg = win
+            fn = jax.jit(lambda w, g: ffs._bb_forward(
+                w, g, fp, MODES, MODES, pad)[1])
+            args = (win, grid2)
         elif which == "headfwd":
-            fn = jax.jit(lambda bb: ffs._head_forward(bb, stats, fp))
-            arg = bbout
+            fn = jax.jit(lambda bb, st: ffs._head_forward(bb, st, fp))
+            args = (bbout, stats)
         elif which == "headbwd":
-            fn = jax.jit(lambda dp: ffs._head_backward(
-                dp, bbout, stats, fp)[0])
-            arg = dpred
+            fn = jax.jit(lambda dp, bb, st: ffs._head_backward(
+                dp, bb, st, fp)[0])
+            args = (dpred, bbout, stats)
         elif which == "bbbwd":
-            fn = jax.jit(lambda db: ffs._bb_backward(
-                db, pre, win, grid2, stats, fp, MODES, MODES, pad)[0])
-            arg = bbout
+            fn = jax.jit(lambda db, pr, w, st: ffs._bb_backward(
+                db, pr, w, grid2, st, fp, MODES, MODES, pad)[0])
+            args = (bbout, pre, win, stats)
         else:  # wgrad
-            fn = jax.jit(lambda dp: ffs._bb_weight_grads(
-                pre, h0p, dp, fp, MODES, MODES)[0])
-            arg = pre
+            fn = jax.jit(lambda pr, h0, dp: ffs._bb_weight_grads(
+                pr, h0, dp, fp, MODES, MODES, pad, NX, NY)[0])
+            args = (pre, h0p, pre)
         t0 = time.perf_counter()
-        out0 = fn(arg)
+        out0 = fn(*args)
         first = float(jnp.sum(out0))
         res["compile_s"] = time.perf_counter() - t0
         res["finite"] = bool(np.isfinite(first))
@@ -212,7 +216,7 @@ def run_one(name: str) -> dict:
         for _ in range(3):
             t0 = time.perf_counter()
             for _k in range(iters):
-                out0 = fn(arg)
+                out0 = fn(*args)
             float(jnp.sum(out0))
             rates.append(iters / (time.perf_counter() - t0))
     else:  # fused_fwd: forward-only rollout shape

@@ -408,26 +408,26 @@ def _stats_el(x5):
     (mean, std) each of shape (1, Cc, 1, 1) — per physical channel Cc,
     unbiased over (T, X, Y) + 1e-7 (fno.py:139).
 
-    Mosaic-legal reduction shapes only: trailing-dims reductions keep a
-    trailing size-1 axis (keepdims — the round-5 fused_f32 probe failed
-    'reductions over both trailing dimensions are only supported when
-    the resulting value has a trailing axis of size 1' otherwise), and
-    the T axis folds by a static unrolled sum (T is small and static;
-    a leading-axis reduce or a rank-1-producing reduce would both lean
-    on unsupported lowerings).
+    Mosaic-legal reduction shapes only.  jnp's ``keepdims`` never
+    reaches Mosaic (jax lowers it as reduce + reshape), so a joint
+    axis=(2,3) reduce still trips 'reductions over both trailing
+    dimensions are only supported when the resulting value has a
+    trailing axis of size 1' (round-5 probes).  Instead: per-t slices
+    reduce ONE trailing axis at a time, the row axis folds via a ones
+    contraction (_sum_cols), and the T fold is a static unrolled sum of
+    rank-2 columns — no multi-trailing reduce, no rank-1 value.
     """
     t, cc, xx, yy = x5.shape
     n = t * xx * yy
-    m4 = jnp.mean(x5, axis=(2, 3), keepdims=True)   # (T, Cc, 1, 1)
-    msum = m4[0]
+    acc = _sum_cols(jnp.sum(x5[0], axis=2))          # (Cc, 1)
     for i in range(1, t):
-        msum = msum + m4[i]                          # (Cc, 1, 1)
-    mean = msum[None] / t                            # (1, Cc, 1, 1)
-    s4 = jnp.sum((x5 - mean) ** 2, axis=(2, 3), keepdims=True)
-    ssum = s4[0]
+        acc = acc + _sum_cols(jnp.sum(x5[i], axis=2))
+    mean = (acc / n)[None, :, :, None]               # (1, Cc, 1, 1)
+    sq = (x5 - mean) ** 2
+    sacc = _sum_cols(jnp.sum(sq[0], axis=2))
     for i in range(1, t):
-        ssum = ssum + s4[i]
-    return mean, jnp.sqrt(ssum[None] / (n - 1)) + 1e-7
+        sacc = sacc + _sum_cols(jnp.sum(sq[i], axis=2))
+    return mean, jnp.sqrt(sacc / (n - 1))[None, :, :, None] + 1e-7
 
 
 def _prep_el(x5, grid2, mean, std):
