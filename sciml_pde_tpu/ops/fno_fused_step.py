@@ -417,17 +417,25 @@ def _stats_el(x5):
     contraction (_sum_cols), and the T fold is a static unrolled sum of
     rank-2 columns — no multi-trailing reduce, no rank-1 value.
     """
+    mc, sc = _stats_cols(x5)
+    return mc[None, :, :, None], sc[None, :, :, None]
+
+
+def _stats_cols(x5):
+    """As _stats_el but returning (mean, std) as (Cc, 1) COLUMNS — the
+    form the head's per-channel de-norm consumes directly."""
     t, cc, xx, yy = x5.shape
     n = t * xx * yy
     acc = _sum_cols(jnp.sum(x5[0], axis=2))          # (Cc, 1)
     for i in range(1, t):
         acc = acc + _sum_cols(jnp.sum(x5[i], axis=2))
-    mean = (acc / n)[None, :, :, None]               # (1, Cc, 1, 1)
+    mean_col = acc / n
+    mean = mean_col[None, :, :, None]                # (1, Cc, 1, 1)
     sq = (x5 - mean) ** 2
     sacc = _sum_cols(jnp.sum(sq[0], axis=2))
     for i in range(1, t):
         sacc = sacc + _sum_cols(jnp.sum(sq[i], axis=2))
-    return mean, jnp.sqrt(sacc / (n - 1))[None, :, :, None] + 1e-7
+    return mean_col, jnp.sqrt(sacc / (n - 1)) + 1e-7
 
 
 def _prep_el(x5, grid2, mean, std):
@@ -910,6 +918,268 @@ def _bb_weight_grads(pre, h0p, dpre, p: FastFNOParams, m1, m2, pad, xx, yy):
 
 
 # --------------------------------------------------------------------------
+# Whole-model megakernels (ONE pallas_call per direction)
+#
+# This backend VMEM-stack-allocates a pallas custom-call's FULL inputs
+# and outputs (round-5 probes: 'Ran out of memory in memory space vmem
+# while allocating on stack' for the 44.6 MB `pre` spill), so activation
+# spills cannot cross the kernel boundary at the flagship shape.  The
+# megakernel design never spills: the forward runs the whole model per
+# batch element inside VMEM and emits only `pred` (~14 MB total I/O);
+# the backward RECOMPUTES the forward in VMEM scratch (classic
+# rematerialisation — the fwd matmul time is a minor share of the step)
+# and emits only the ten weight-gradient buffers (~8 MB).  Static layer
+# unroll: weights index with python ints, so no one-hot selects and no
+# per-layer grid streaming.
+# --------------------------------------------------------------------------
+
+
+def _head_cols(x5):
+    """(mean, std) de-norm columns, stop-gradient by construction."""
+    return _stats_cols(x5)
+
+
+def _full_fwd_kernel(win_ref, grid_ref, wmr_ref, wmi_ref, pw_ref, pbt_ref,
+                     w0t_ref, b0_ref, w1t_ref, b1_ref, w2t_ref, b2_ref,
+                     facs_refs, pred_ref, h_scr, *, xx, yy, n_chunks):
+    f = SpectralFactors(*(r[:] for r in facs_refs))
+    c, hpad, wpad = h_scr.shape
+    hw = xx * yy
+    ck = hw // n_chunks
+    x5 = win_ref[0]
+    mean_col, std_col = _stats_cols(x5)
+    mean4 = mean_col[None, :, :, None]
+    std4 = std_col[None, :, :, None]
+    inp = _prep_el(x5, grid_ref[:], mean4, std4)
+    finp = inp.reshape(inp.shape[0], -1)
+    h0 = (_dot(w0t_ref[:], finp) + b0_ref[:]).reshape(c, xx, yy)
+    h_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
+    h_scr[:, :xx, :yy] = h0
+    for i in range(L_LAYERS):
+        h = h_scr[:]
+        s, _ = _spectral_fwd_el(h, wmr_ref[i], wmi_ref[i], f)
+        pcv = _dot(pw_ref[i].T, h.reshape(c, -1)).reshape(s.shape)
+        pre = s + pcv + pbt_ref[:, i:i + 1][:, :, None]
+        h_scr[:] = pre if i == L_LAYERS - 1 else _gelu(pre)
+    bb = h_scr[:, :xx, :yy].reshape(c, hw)
+    for j in range(n_chunks):
+        sl = slice(j * ck, (j + 1) * ck)
+        t1 = _gelu(_dot(w1t_ref[:], bb[:, sl]) + b1_ref[:])
+        outn = _dot(w2t_ref[:], t1) + b2_ref[:]
+        pred_ref[0, :, sl] = outn * std_col + mean_col
+
+
+def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
+                     pbt_ref, w0t_ref, b0_ref, w1t_ref, b1_ref, w2t_ref,
+                     facs_refs,
+                     dwmr_ref, dwmi_ref, dpw_ref, dpbt_ref, dw0t_ref,
+                     db0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
+                     h_scr, dh_scr, pre_scr, h0_scr, br_scr, bi_scr, db_scr,
+                     *, xx, yy, n_chunks):
+    b = pl.program_id(0)
+    f = SpectralFactors(*(r[:] for r in facs_refs))
+    c, hpad, wpad = h_scr.shape
+    co = dpred_ref.shape[1]
+    hw = xx * yy
+    ck = hw // n_chunks
+
+    @pl.when(b == 0)
+    def _():
+        dwmr_ref[:] = jnp.zeros_like(dwmr_ref)
+        dwmi_ref[:] = jnp.zeros_like(dwmi_ref)
+        dpw_ref[:] = jnp.zeros_like(dpw_ref)
+        dpbt_ref[:] = jnp.zeros_like(dpbt_ref)
+        dw0t_ref[:] = jnp.zeros_like(dw0t_ref)
+        db0_ref[:] = jnp.zeros_like(db0_ref)
+        dw1t_ref[:] = jnp.zeros_like(dw1t_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dw2t_ref[:] = jnp.zeros_like(dw2t_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
+
+    # ---- forward recompute (stores pre_i + corner spectra in VMEM) ----
+    x5 = win_ref[0]
+    mean_col, std_col = _stats_cols(x5)
+    mean4 = mean_col[None, :, :, None]
+    std4 = std_col[None, :, :, None]
+    inp = _prep_el(x5, grid_ref[:], mean4, std4)
+    finp = inp.reshape(inp.shape[0], -1)
+    h0 = (_dot(w0t_ref[:], finp) + b0_ref[:]).reshape(c, xx, yy)
+    h0_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
+    h0_scr[:, :xx, :yy] = h0
+    h_scr[:] = h0_scr[:]
+    for i in range(L_LAYERS):
+        h = h_scr[:]
+        s, (br, bi) = _spectral_fwd_el(h, wmr_ref[i], wmi_ref[i], f)
+        br_scr[i] = br
+        bi_scr[i] = bi
+        pcv = _dot(pw_ref[i].T, h.reshape(c, -1)).reshape(s.shape)
+        pre = s + pcv + pbt_ref[:, i:i + 1][:, :, None]
+        pre_scr[i] = pre
+        h_scr[:] = pre if i == L_LAYERS - 1 else _gelu(pre)
+
+    # ---- head forward-recompute + backward, spatially chunked ---------
+    bb = h_scr[:, :xx, :yy].reshape(c, hw)
+    dpred = dpred_ref[0].reshape(co, hw) * std_col
+    for j in range(n_chunks):
+        sl = slice(j * ck, (j + 1) * ck)
+        bbc = bb[:, sl]
+        pre1 = _dot(w1t_ref[:], bbc) + b1_ref[:]
+        t1 = _gelu(pre1)
+        dout = dpred[:, sl]
+        dw2t_ref[:] += _dot(dout, t1.T)
+        db2_ref[:] += _sum_cols(dout)
+        dt1 = _dot(w2t_ref[:].T, dout)
+        dpre1 = dt1 * _gelu_grad(pre1)
+        dw1t_ref[:] += _dot(dpre1, bbc.T)
+        db1_ref[:] += _sum_cols(dpre1)
+        db_scr[:, sl] = _dot(w1t_ref[:].T, dpre1)
+
+    dh_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
+    dh_scr[:, :xx, :yy] = db_scr[:].reshape(c, xx, yy)
+
+    # ---- backbone backward walk (static reversed unroll) --------------
+    for i in reversed(range(L_LAYERS)):
+        pre = pre_scr[i]
+        dh = dh_scr[:]
+        dpre = dh if i == L_LAYERS - 1 else dh * _gelu_grad(pre)
+        dh_spec, (dcr, dci) = _spectral_adj_el(
+            dpre, wmr_ref[i], wmi_ref[i], f)
+        br, bi = br_scr[i], bi_scr[i]
+        dwmr_ref[i] += (br[:, None] * dcr[None] + bi[:, None] * dci[None])
+        dwmi_ref[i] += (-bi[:, None] * dcr[None] + br[:, None] * dci[None])
+        h_in = h0_scr[:] if i == 0 else _gelu(pre_scr[i - 1])
+        dpre_f = dpre.reshape(dpre.shape[0], -1)
+        dpw_ref[i] += _dot(h_in.reshape(c, -1), dpre_f.T)
+        dpbt_ref[:, i:i + 1] += _sum_cols(dpre_f)
+        dh_scr[:] = dh_spec + _dot(pw_ref[i], dpre_f).reshape(c, hpad, wpad)
+
+    # ---- lift gradient ------------------------------------------------
+    dh0 = dh_scr[:, :xx, :yy].reshape(c, hw)
+    dw0t_ref[:] += _dot(dh0, finp.T)
+    db0_ref[:] += _sum_cols(dh0)
+
+
+def _full_forward(win, grid2, p: FastFNOParams, m1, m2, pad, n_chunks=4):
+    b, t, cc, xx, yy = win.shape
+    hpad, wpad = _pad8(xx + pad), _pad128(yy + pad)
+    c = p.w0t.shape[0]
+    co = p.w2t.shape[0]
+    if (xx * yy) % n_chunks:
+        raise ValueError(f"{xx * yy} % {n_chunks} != 0")
+    facs = _facs_arrays(xx + pad, yy + pad, m1, m2)
+    n_facs = len(facs)
+
+    def kernel(*refs):
+        _full_fwd_kernel(*refs[:12], refs[12:12 + n_facs], refs[-2],
+                         refs[-1], xx=xx, yy=yy, n_chunks=n_chunks)
+
+    pred = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, cc, xx, yy), lambda bb_: (bb_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(grid2.shape),
+            _const_spec(p.wmr.shape),
+            _const_spec(p.wmi.shape),
+            _const_spec(p.pw.shape),
+            _const_spec((p.pb.shape[1], L_LAYERS)),
+            _const_spec(p.w0t.shape),
+            _const_spec((p.b0.shape[0], 1)),
+            _const_spec(p.w1t.shape),
+            _const_spec((p.b1.shape[0], 1)),
+            _const_spec(p.w2t.shape),
+            _const_spec((p.b2.shape[0], 1)),
+        ] + [_const_spec(a.shape) for a in facs],
+        out_specs=pl.BlockSpec((1, co, xx * yy), lambda bb_: (bb_, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, co, xx * yy), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((c, hpad, wpad), jnp.float32)],
+        interpret=_use_interpret(),
+    )(win, grid2, p.wmr, p.wmi, p.pw, p.pb.T, p.w0t, p.b0[:, None],
+      p.w1t, p.b1[:, None], p.w2t, p.b2[:, None], *facs)
+    return pred.reshape(b, co, xx, yy)
+
+
+def _full_backward(dpred, win, grid2, p: FastFNOParams, m1, m2, pad,
+                   n_chunks=4):
+    b, t, cc, xx, yy = win.shape
+    hpad, wpad = _pad8(xx + pad), _pad128(yy + pad)
+    c = p.w0t.shape[0]
+    co = dpred.shape[1]
+    nh = p.w1t.shape[0]
+    kp, rp = p.wmr.shape[3], p.wmr.shape[4]
+    facs = _facs_arrays(xx + pad, yy + pad, m1, m2)
+    n_facs = len(facs)
+
+    def kernel(*refs):
+        _full_bwd_kernel(*refs[:12], refs[12:12 + n_facs],
+                         *refs[12 + n_facs:12 + n_facs + 10],
+                         *refs[-7:], xx=xx, yy=yy, n_chunks=n_chunks)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, t, cc, xx, yy), lambda bb_: (bb_, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(grid2.shape),
+            pl.BlockSpec((1, co, xx * yy), lambda bb_: (bb_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _const_spec(p.wmr.shape),
+            _const_spec(p.wmi.shape),
+            _const_spec(p.pw.shape),
+            _const_spec((p.pb.shape[1], L_LAYERS)),
+            _const_spec(p.w0t.shape),
+            _const_spec((p.b0.shape[0], 1)),
+            _const_spec(p.w1t.shape),
+            _const_spec((p.b1.shape[0], 1)),
+            _const_spec(p.w2t.shape),
+        ] + [_const_spec(a.shape) for a in facs],
+        out_specs=[
+            _const_spec(p.wmr.shape),
+            _const_spec(p.wmi.shape),
+            _const_spec(p.pw.shape),
+            _const_spec((p.pb.shape[1], L_LAYERS)),
+            _const_spec(p.w0t.shape),
+            _const_spec((c, 1)),
+            _const_spec(p.w1t.shape),
+            _const_spec((nh, 1)),
+            _const_spec(p.w2t.shape),
+            _const_spec((co, 1)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(p.wmr.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.wmi.shape, jnp.float32),
+            jax.ShapeDtypeStruct(p.pw.shape, jnp.float32),
+            jax.ShapeDtypeStruct((p.pb.shape[1], L_LAYERS), jnp.float32),
+            jax.ShapeDtypeStruct(p.w0t.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct(p.w1t.shape, jnp.float32),
+            jax.ShapeDtypeStruct((nh, 1), jnp.float32),
+            jax.ShapeDtypeStruct(p.w2t.shape, jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c, hpad, wpad), jnp.float32),            # h_scr
+            pltpu.VMEM((c, hpad, wpad), jnp.float32),            # dh_scr
+            pltpu.VMEM((L_LAYERS, c, hpad, wpad), jnp.float32),  # pre_scr
+            pltpu.VMEM((c, hpad, wpad), jnp.float32),            # h0_scr
+            pltpu.VMEM((L_LAYERS, c, kp, rp), jnp.float32),      # br_scr
+            pltpu.VMEM((L_LAYERS, c, kp, rp), jnp.float32),      # bi_scr
+            pltpu.VMEM((c, xx * yy), jnp.float32),               # db_scr
+        ],
+        interpret=_use_interpret(),
+    )(win, grid2, dpred.reshape(b, co, xx * yy), p.wmr, p.wmi, p.pw,
+      p.pb.T, p.w0t, p.b0[:, None], p.w1t, p.b1[:, None], p.w2t, *facs)
+    dwmr, dwmi, dpw, dpbt, dw0t, db0, dw1t, db1, dw2t, db2 = outs
+    return FastFNOParams(
+        wmr=dwmr, wmi=dwmi, pw=dpw, pb=dpbt.T, w0t=dw0t, b0=db0[:, 0],
+        w1t=dw1t, b1=db1[:, 0], w2t=dw2t, b2=db2[:, 0],
+    )
+
+
+# --------------------------------------------------------------------------
 # The differentiable fused model apply
 # --------------------------------------------------------------------------
 
@@ -921,28 +1191,20 @@ def fno2d_fused_apply(win, grid2, p: FastFNOParams, modes1, modes2, pad=2):
     Differentiable in ``p`` (win/grid get zero cotangents — the window is
     data; instance-norm stats are stop-gradient per the reference).
     """
-    pre, bbout, stats, h0p = _bb_forward(win, grid2, p, modes1, modes2, pad)
-    return _head_forward(bbout, stats, p)
+    return _full_forward(win, grid2, p, modes1, modes2, pad)
 
 
 def _apply_fwd(win, grid2, p, modes1, modes2, pad):
-    pre, bbout, stats, h0p = _bb_forward(win, grid2, p, modes1, modes2, pad)
-    pred = _head_forward(bbout, stats, p)
-    return pred, (win, grid2, p, pre, bbout, stats, h0p)
+    pred = _full_forward(win, grid2, p, modes1, modes2, pad)
+    # residuals are INPUTS only: the backward megakernel rematerialises
+    # the whole forward in VMEM (no activation spill may cross the
+    # kernel boundary on this backend — see the section comment)
+    return pred, (win, grid2, p)
 
 
 def _apply_bwd(modes1, modes2, pad, res, dpred):
-    win, grid2, p, pre, bbout, stats, h0p = res
-    dbb, dw1t, db1, dw2t, db2 = _head_backward(dpred, bbout, stats, p)
-    dpre, dw0t, db0 = _bb_backward(dbb, pre, win, grid2, stats, p,
-                                   modes1, modes2, pad)
-    dwmr, dwmi, dpw, dpb = _bb_weight_grads(
-        pre, h0p, dpre, p, modes1, modes2, pad, win.shape[3], win.shape[4]
-    )
-    dp = FastFNOParams(
-        wmr=dwmr, wmi=dwmi, pw=dpw, pb=dpb, w0t=dw0t, b0=db0,
-        w1t=dw1t, b1=db1, w2t=dw2t, b2=db2,
-    )
+    win, grid2, p = res
+    dp = _full_backward(dpred, win, grid2, p, modes1, modes2, pad)
     return jnp.zeros_like(win), jnp.zeros_like(grid2), dp
 
 
