@@ -272,7 +272,23 @@ def main(argv=None):
         from sciml_pde_tpu.ops.spectral import set_dft_precision
 
         set_dft_precision(env_prec)
-        res = run_one(a.config)
+        try:
+            res = run_one(a.config)
+        except Exception as e:  # noqa: BLE001 — ship the REAL compiler
+            # error through the result channel: Mosaic exceptions embed
+            # megabytes of MLIR and the parent's stderr tail window
+            # loses the message lines otherwise
+            import re as _re
+
+            msg = f"{type(e).__name__}: {e}"
+            lines = [
+                ln for ln in msg.splitlines()
+                if _re.search(
+                    r"(?i)error|failed|not implemented|unsupported|"
+                    r"check failed|ran out", ln)
+            ]
+            res = {"config": a.config, "error": type(e).__name__,
+                   "error_lines": lines[:12] or [msg[:300], msg[-300:]]}
         print("PROBE_RESULT " + json.dumps(res), flush=True)
         return
 
