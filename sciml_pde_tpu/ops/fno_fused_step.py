@@ -974,7 +974,7 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
                      facs_refs,
                      dwmr_ref, dwmi_ref, dpw_ref, dpbt_ref, dw0t_ref,
                      db0_ref, dw1t_ref, db1_ref, dw2t_ref, db2_ref,
-                     h_scr, dh_scr, pre_scr, h0_scr, br_scr, bi_scr, db_scr,
+                     h_scr, dh_scr, pre_scr, br_scr, bi_scr,
                      *, xx, yy, n_chunks):
     b = pl.program_id(0)
     f = SpectralFactors(*(r[:] for r in facs_refs))
@@ -1004,9 +1004,8 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
     inp = _prep_el(x5, grid_ref[:], mean4, std4)
     finp = inp.reshape(inp.shape[0], -1)
     h0 = (_dot(w0t_ref[:], finp) + b0_ref[:]).reshape(c, xx, yy)
-    h0_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
-    h0_scr[:, :xx, :yy] = h0
-    h_scr[:] = h0_scr[:]
+    h_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
+    h_scr[:, :xx, :yy] = h0
     for i in range(L_LAYERS):
         h = h_scr[:]
         s, (br, bi) = _spectral_fwd_el(h, wmr_ref[i], wmi_ref[i], f)
@@ -1018,8 +1017,13 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
         h_scr[:] = pre if i == L_LAYERS - 1 else _gelu(pre)
 
     # ---- head forward-recompute + backward, spatially chunked ---------
+    # chunk j covers whole image ROWS [j*rk, (j+1)*rk), so the dbb
+    # cotangent writes straight into dh_scr's logical region (the
+    # separate (C, HW) staging scratch was ~1.2 MB of the VMEM budget)
+    rk = (xx // n_chunks)
     bb = h_scr[:, :xx, :yy].reshape(c, hw)
     dpred = dpred_ref[0].reshape(co, hw) * std_col
+    dh_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
     for j in range(n_chunks):
         sl = slice(j * ck, (j + 1) * ck)
         bbc = bb[:, sl]
@@ -1032,10 +1036,15 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
         dpre1 = dt1 * _gelu_grad(pre1)
         dw1t_ref[:] += _dot(dpre1, bbc.T)
         db1_ref[:] += _sum_cols(dpre1)
-        db_scr[:, sl] = _dot(w1t_ref[:].T, dpre1)
+        dh_scr[:, j * rk:(j + 1) * rk, :yy] = _dot(
+            w1t_ref[:].T, dpre1).reshape(c, rk, yy)
 
-    dh_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
-    dh_scr[:, :xx, :yy] = db_scr[:].reshape(c, xx, yy)
+    # after the head pass h_scr's final-layer activation is dead: reuse
+    # it to hold the (padded) lift output, recomputed from the live finp
+    # (removes the dedicated h0 scratch, ~2.7 MB)
+    h0b = (_dot(w0t_ref[:], finp) + b0_ref[:]).reshape(c, xx, yy)
+    h_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
+    h_scr[:, :xx, :yy] = h0b
 
     # ---- backbone backward walk (static reversed unroll) --------------
     for i in reversed(range(L_LAYERS)):
@@ -1047,7 +1056,7 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
         br, bi = br_scr[i], bi_scr[i]
         dwmr_ref[i] += (br[:, None] * dcr[None] + bi[:, None] * dci[None])
         dwmi_ref[i] += (-bi[:, None] * dcr[None] + br[:, None] * dci[None])
-        h_in = h0_scr[:] if i == 0 else _gelu(pre_scr[i - 1])
+        h_in = h_scr[:] if i == 0 else _gelu(pre_scr[i - 1])
         dpre_f = dpre.reshape(dpre.shape[0], -1)
         dpw_ref[i] += _dot(h_in.reshape(c, -1), dpre_f.T)
         dpbt_ref[:, i:i + 1] += _sum_cols(dpre_f)
@@ -1112,10 +1121,16 @@ def _full_backward(dpred, win, grid2, p: FastFNOParams, m1, m2, pad,
     facs = _facs_arrays(xx + pad, yy + pad, m1, m2)
     n_facs = len(facs)
 
+    if xx % n_chunks:
+        raise ValueError(
+            f"the bwd head pass chunks whole image rows: xx={xx} must be "
+            f"divisible by n_chunks={n_chunks}"
+        )
+
     def kernel(*refs):
         _full_bwd_kernel(*refs[:12], refs[12:12 + n_facs],
                          *refs[12 + n_facs:12 + n_facs + 10],
-                         *refs[-7:], xx=xx, yy=yy, n_chunks=n_chunks)
+                         *refs[-5:], xx=xx, yy=yy, n_chunks=n_chunks)
 
     outs = pl.pallas_call(
         kernel,
@@ -1164,10 +1179,8 @@ def _full_backward(dpred, win, grid2, p: FastFNOParams, m1, m2, pad,
             pltpu.VMEM((c, hpad, wpad), jnp.float32),            # h_scr
             pltpu.VMEM((c, hpad, wpad), jnp.float32),            # dh_scr
             pltpu.VMEM((L_LAYERS, c, hpad, wpad), jnp.float32),  # pre_scr
-            pltpu.VMEM((c, hpad, wpad), jnp.float32),            # h0_scr
             pltpu.VMEM((L_LAYERS, c, kp, rp), jnp.float32),      # br_scr
             pltpu.VMEM((L_LAYERS, c, kp, rp), jnp.float32),      # bi_scr
-            pltpu.VMEM((c, xx * yy), jnp.float32),               # db_scr
         ],
         interpret=_use_interpret(),
     )(win, grid2, dpred.reshape(b, co, xx * yy), p.wmr, p.wmi, p.pw,
