@@ -997,6 +997,10 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     # ---- forward recompute (stores pre_i + corner spectra in VMEM) ----
+    # pre_scr/br_scr/bi_scr carry the kernel's rematerialisation dtype
+    # (bf16 under the shipped DEFAULT precision — activation
+    # checkpointing in bf16; exact f32 under `highest`): stores downcast,
+    # reads promote back to f32 arithmetic
     x5 = win_ref[0]
     mean_col, std_col = _stats_cols(x5)
     mean4 = mean_col[None, :, :, None]
@@ -1006,14 +1010,15 @@ def _full_bwd_kernel(win_ref, grid_ref, dpred_ref, wmr_ref, wmi_ref, pw_ref,
     h0 = (_dot(w0t_ref[:], finp) + b0_ref[:]).reshape(c, xx, yy)
     h_scr[:] = jnp.zeros((c, hpad, wpad), jnp.float32)
     h_scr[:, :xx, :yy] = h0
+    sdt = pre_scr.dtype
     for i in range(L_LAYERS):
         h = h_scr[:]
         s, (br, bi) = _spectral_fwd_el(h, wmr_ref[i], wmi_ref[i], f)
-        br_scr[i] = br
-        bi_scr[i] = bi
+        br_scr[i] = br.astype(sdt)
+        bi_scr[i] = bi.astype(sdt)
         pcv = _dot(pw_ref[i].T, h.reshape(c, -1)).reshape(s.shape)
         pre = s + pcv + pbt_ref[:, i:i + 1][:, :, None]
-        pre_scr[i] = pre
+        pre_scr[i] = pre.astype(sdt)
         h_scr[:] = pre if i == L_LAYERS - 1 else _gelu(pre)
 
     # ---- head forward-recompute + backward, spatially chunked ---------
@@ -1178,12 +1183,16 @@ def _full_backward(dpred, win, grid2, p: FastFNOParams, m1, m2, pad,
         scratch_shapes=[
             pltpu.VMEM((c, hpad, wpad), jnp.float32),            # h_scr
             pltpu.VMEM((c, hpad, wpad), jnp.float32),            # dh_scr
-            pltpu.VMEM((L_LAYERS, c, hpad, wpad), jnp.float32),  # pre_scr
-            pltpu.VMEM((L_LAYERS, c, kp, rp), jnp.float32),      # br_scr
-            pltpu.VMEM((L_LAYERS, c, kp, rp), jnp.float32),      # bi_scr
+            # rematerialisation stores in the dot dtype: bf16 under the
+            # shipped DEFAULT precision (-5.9 MB of the VMEM budget),
+            # exact f32 under `highest` (the equivalence-test regime)
+            pltpu.VMEM((L_LAYERS, c, hpad, wpad), _dot_dtype()),  # pre_scr
+            pltpu.VMEM((L_LAYERS, c, kp, rp), _dot_dtype()),      # br_scr
+            pltpu.VMEM((L_LAYERS, c, kp, rp), _dot_dtype()),      # bi_scr
         ],
         interpret=_use_interpret(),
-    )(win, grid2, dpred.reshape(b, co, xx * yy), p.wmr, p.wmi, p.pw,
+    )(win, grid2, dpred.reshape(b, co, xx * yy),
+      p.wmr.astype(_dot_dtype()), p.wmi.astype(_dot_dtype()), p.pw,
       p.pb.T, p.w0t, p.b0[:, None], p.w1t, p.b1[:, None], p.w2t, *facs)
     dwmr, dwmi, dpw, dpbt, dw0t, db0, dw1t, db1, dw2t, db2 = outs
     return FastFNOParams(
